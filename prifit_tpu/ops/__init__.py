@@ -1,0 +1,35 @@
+from prifit_tpu.ops.pairwise import (
+    square_distance,
+    knn,
+    knn_with_dilation,
+    knn_points_normals,
+)
+from prifit_tpu.ops.sampling import (
+    index_points,
+    farthest_point_sample,
+    query_ball_point,
+    sample_and_group,
+    sample_and_group_all,
+    three_nn_interpolate,
+)
+from prifit_tpu.ops.chamfer import (
+    chamfer_distance,
+    chamfer_distance_one_side,
+    nn_squared_distance,
+)
+
+__all__ = [
+    "square_distance",
+    "knn",
+    "knn_with_dilation",
+    "knn_points_normals",
+    "index_points",
+    "farthest_point_sample",
+    "query_ball_point",
+    "sample_and_group",
+    "sample_and_group_all",
+    "three_nn_interpolate",
+    "chamfer_distance",
+    "chamfer_distance_one_side",
+    "nn_squared_distance",
+]

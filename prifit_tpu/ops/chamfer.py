@@ -1,0 +1,110 @@
+"""Chamfer distances, fully on-device.
+
+The reference computes chamfer either densely (``src/utils.py:271-294``) or
+through a CPU sklearn KDTree round-trip (``src/utils.py:361-381``).  Here
+both sides stay on device: the N x M squared-distance matrix is processed in
+source-chunks with a ``lax.map`` so the full matrix is never materialized in
+HBM for large N*M (the min-reduction happens per chunk).
+
+Weights/masks replace ragged point sets: every input has a fixed size and an
+optional validity weight per point.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from prifit_tpu.ops.pairwise import square_distance
+
+_CHUNK = 1024
+
+
+def _min_sqdist_chunked(src: jax.Array, dst: jax.Array,
+                        dst_mask: jax.Array | None, chunk: int) -> jax.Array:
+    """min_m ||src_n - dst_m||^2 computed in chunks of the src axis.
+
+    src: [N, 3], dst: [M, 3], dst_mask: [M] bool or None -> [N]
+    Invalid dst entries are pushed to +inf before the min.
+    """
+    N = src.shape[0]
+    if N % chunk != 0:
+        chunk = N  # fall back to one chunk for odd sizes (tests)
+    n_chunks = N // chunk
+    src_c = src.reshape(n_chunks, chunk, src.shape[-1])
+
+    big = jnp.float32(1e10)
+
+    def one(s):
+        d = square_distance(s, dst)                         # [chunk, M]
+        if dst_mask is not None:
+            d = jnp.where(dst_mask[None, :], d, big)
+        return jnp.min(d, axis=-1)
+
+    if n_chunks == 1:
+        return one(src_c[0])
+    return jax.lax.map(one, src_c).reshape(N)
+
+
+def nn_squared_distance(src: jax.Array, dst: jax.Array,
+                        dst_mask: jax.Array | None = None,
+                        chunk: int = _CHUNK) -> jax.Array:
+    """Squared distance of each src point to its nearest dst point.
+
+    Unbatched ``[N, 3] x [M, 3] -> [N]``; vmap for batches.  Gradients flow
+    to both clouds through the selected pair (same as KDTree + gather in the
+    reference: index selection is effectively stop-gradient).
+    """
+    return _min_sqdist_chunked(src, dst, dst_mask, chunk)
+
+
+@partial(jax.jit, static_argnames=("sqrt",))
+def chamfer_distance(pred: jax.Array, gt: jax.Array, sqrt: bool = False,
+                     pred_mask: jax.Array | None = None,
+                     gt_mask: jax.Array | None = None) -> jax.Array:
+    """Symmetric chamfer distance averaged over the batch.
+
+    Matches ``src/utils.py:271-294``: mean over points of the min squared
+    distance, two sides averaged, then /2.
+
+    Args:
+        pred: ``[B, N, 3]``; gt: ``[B, M, 3]``.
+        pred_mask/gt_mask: optional ``[B, N]``/``[B, M]`` validity weights.
+    """
+    def one(p, g, pm, gm):
+        d_pg = _min_sqdist_chunked(p, g, gm, _CHUNK)        # [N]
+        d_gp = _min_sqdist_chunked(g, p, pm, _CHUNK)        # [M]
+        if sqrt:
+            from prifit_tpu.utils.guard import guard_sqrt
+            d_pg, d_gp = guard_sqrt(d_pg), guard_sqrt(d_gp)
+        m_pg = _masked_mean(d_pg, pm)
+        m_gp = _masked_mean(d_gp, gm)
+        return m_pg + m_gp
+
+    B = pred.shape[0]
+    pm = pred_mask if pred_mask is not None else jnp.ones(pred.shape[:2])
+    gm = gt_mask if gt_mask is not None else jnp.ones(gt.shape[:2])
+    cds = jax.vmap(one)(pred, gt, pm.astype(bool), gm.astype(bool))
+    return jnp.mean(cds) / 2.0
+
+
+def chamfer_distance_one_side(pred: jax.Array, gt: jax.Array,
+                              side: int = 1) -> jax.Array:
+    """One-sided chamfer (reference ``src/utils.py:297-321``).
+
+    side=0: for each gt point, distance to nearest pred (min over pred axis);
+    side=1: for each pred point, distance to nearest gt.
+    """
+    def one(p, g):
+        if side == 0:
+            return jnp.mean(_min_sqdist_chunked(g, p, None, _CHUNK))
+        return jnp.mean(_min_sqdist_chunked(p, g, None, _CHUNK))
+
+    return jnp.mean(jax.vmap(one)(pred, gt))
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array | None) -> jax.Array:
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)

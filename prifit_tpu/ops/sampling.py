@@ -1,0 +1,192 @@
+"""Point sampling, grouping and interpolation primitives (PointNet++ ops).
+
+Reference behavior being reproduced (TPU-first re-design, not a port):
+  - ``index_points``            models/pointnet_util.py:43-60
+  - ``farthest_point_sample``   models/pointnet_util.py:63-84 (serial torch
+                                loop -> ``lax.fori_loop`` here; a fused
+                                Pallas kernel lives in ops/pallas/fps.py)
+  - ``query_ball_point``        models/pointnet_util.py:87-107
+  - ``sample_and_group[_all]``  models/pointnet_util.py:110-157
+  - 3-NN interpolation          models/pointnet_util.py:292-302
+
+Design: all outputs are statically shaped.  Ball query pads empty slots
+with the first in-radius index exactly like the reference (its sort-based
+construction is replaced with a ``top_k`` over index keys).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from prifit_tpu.ops.pairwise import square_distance
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: ``out[b, ...] = points[b, idx[b, ...], :]``.
+
+    Args:
+        points: ``[B, N, C]``
+        idx: ``[B, ...]`` int indices into the N axis.
+    Returns:
+        ``[B, ..., C]``
+    """
+    def gather_one(p, i):
+        return jnp.take(p, i, axis=0)
+
+    return jax.vmap(gather_one)(points, idx)
+
+
+@partial(jax.jit, static_argnames=("npoint", "deterministic"))
+def farthest_point_sample(xyz: jax.Array, npoint: int,
+                          key: jax.Array | None = None,
+                          deterministic: bool = False) -> jax.Array:
+    """Iterative farthest point sampling.
+
+    Keeps a running min-distance-to-selected-set per point; each step picks
+    the argmax (reference ``models/pointnet_util.py:63-84``).  The start
+    point is random like the reference (``torch.randint``) unless
+    ``deterministic`` (point 0) — useful for tests/eval.
+
+    Args:
+        xyz: ``[B, N, 3]``
+        npoint: number of samples (static).
+        key: PRNG key for the random start (required if not deterministic).
+    Returns:
+        ``[B, npoint]`` int32 indices.
+    """
+    B, N, _ = xyz.shape
+    if deterministic:
+        farthest0 = jnp.zeros((B,), dtype=jnp.int32)
+    else:
+        if key is None:
+            raise ValueError("farthest_point_sample needs a PRNG key unless "
+                             "deterministic=True")
+        farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    xyz = xyz.astype(jnp.float32)
+
+    def body(carry, _):
+        distance, farthest = carry
+        centroid = jnp.take_along_axis(
+            xyz, farthest[:, None, None], axis=1)           # [B, 1, 3]
+        d = jnp.sum((xyz - centroid) ** 2, axis=-1)         # [B, N]
+        distance = jnp.minimum(distance, d)
+        next_far = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return (distance, next_far), farthest
+
+    init = (jnp.full((B, N), 1e10, dtype=jnp.float32), farthest0)
+    _, centroids = jax.lax.scan(body, init, None, length=npoint)
+    return jnp.swapaxes(centroids, 0, 1)                    # [B, npoint]
+
+
+def query_ball_point(radius: float, nsample: int, xyz: jax.Array,
+                     new_xyz: jax.Array) -> jax.Array:
+    """Fixed-size radius neighbourhood query.
+
+    For each query point take (up to) ``nsample`` in-radius points in
+    ascending index order; empty slots repeat the first hit — identical
+    semantics to the reference's sort-then-pad (``pointnet_util.py:87-107``)
+    but built from one ``top_k`` instead of a full sort.
+
+    Args:
+        radius: ball radius (static python float).
+        nsample: neighbours per ball (static).
+        xyz: ``[B, N, 3]`` all points.
+        new_xyz: ``[B, S, 3]`` query centers.
+    Returns:
+        ``[B, S, nsample]`` int32 indices into N.
+    """
+    B, N, _ = xyz.shape
+    # HIGHEST precision: the radius threshold is absolute, and each center
+    # must see itself at distance exactly 0 (see square_distance TPU note).
+    sqrdists = square_distance(new_xyz, xyz,
+                               precision=jax.lax.Precision.HIGHEST)
+    arange = jnp.arange(N, dtype=jnp.int32)
+    # key: in-radius points keep their index, others become N (sorted last)
+    keys = jnp.where(sqrdists <= radius ** 2, arange[None, None, :], N)
+    # smallest `nsample` keys == reference's sort()[:nsample]
+    neg_topk, _ = jax.lax.top_k(-keys, nsample)
+    group_idx = -neg_topk
+    first = group_idx[..., :1]
+    group_idx = jnp.where(group_idx == N, first, group_idx)
+    # degenerate guard: a center with zero in-radius points (cannot happen
+    # when centers come from FPS over the same cloud) falls back to index 0
+    group_idx = jnp.where(group_idx == N, 0, group_idx)
+    return group_idx.astype(jnp.int32)
+
+
+def sample_and_group(npoint: int, radius: float, nsample: int,
+                     xyz: jax.Array, points: jax.Array | None,
+                     key: jax.Array | None = None,
+                     deterministic: bool = False):
+    """FPS + ball query + gather + center-relative coords + feature concat.
+
+    Reference ``models/pointnet_util.py:110-137``.
+
+    Returns:
+        new_xyz: ``[B, npoint, 3]``
+        new_points: ``[B, npoint, nsample, 3 (+D)]``
+    """
+    fps_idx = farthest_point_sample(xyz, npoint, key=key,
+                                    deterministic=deterministic)
+    new_xyz = index_points(xyz, fps_idx)
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = index_points(xyz, idx)                    # [B, S, K, 3]
+    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = index_points(points, idx)
+        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points],
+                                     axis=-1)
+    else:
+        new_points = grouped_xyz_norm
+    return new_xyz, new_points
+
+
+def sample_and_group_all(xyz: jax.Array, points: jax.Array | None):
+    """Single global group (reference ``pointnet_util.py:140-157``).
+
+    Returns:
+        new_xyz: ``[B, 1, 3]`` zeros
+        new_points: ``[B, 1, N, 3 (+D)]``
+    """
+    B, N, C = xyz.shape
+    new_xyz = jnp.zeros((B, 1, C), dtype=xyz.dtype)
+    grouped_xyz = xyz[:, None, :, :]
+    if points is not None:
+        new_points = jnp.concatenate(
+            [grouped_xyz, points[:, None, :, :]], axis=-1)
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points
+
+
+def three_nn_interpolate(xyz_dst: jax.Array, xyz_src: jax.Array,
+                         feats_src: jax.Array) -> jax.Array:
+    """Inverse-distance weighted 3-NN feature interpolation.
+
+    Upsamples features living on the coarse set ``xyz_src`` to the dense set
+    ``xyz_dst`` (reference ``pointnet_util.py:292-302``; the reference sorts
+    the full distance matrix, we ``top_k`` 3).
+
+    Args:
+        xyz_dst: ``[B, N, 3]`` dense positions.
+        xyz_src: ``[B, S, 3]`` coarse positions (S >= 3... or S == 1).
+        feats_src: ``[B, S, D]`` coarse features.
+    Returns:
+        ``[B, N, D]`` interpolated features.
+    """
+    B, S, _ = xyz_src.shape
+    if S == 1:
+        return jnp.broadcast_to(feats_src,
+                                (B, xyz_dst.shape[1], feats_src.shape[-1]))
+    # HIGHEST: a coincident point must see distance 0 (weight -> 1), and
+    # the reciprocal weights amplify low-precision error near zero.
+    dists = square_distance(xyz_dst, xyz_src,
+                            precision=jax.lax.Precision.HIGHEST)  # [B, N, S]
+    neg_d, idx = jax.lax.top_k(-dists, 3)
+    d = -neg_d                                              # [B, N, 3]
+    w = 1.0 / (d + 1e-8)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    gathered = index_points(feats_src, idx)                 # [B, N, 3, D]
+    return jnp.sum(gathered * w[..., None], axis=2)
