@@ -1,0 +1,292 @@
+"""Differentiable mean-shift clustering on the unit hypersphere, TPU-native.
+
+Rebuilds the reference subsystem (``src/mean_shift.py``,
+``src/ellipsoid_utils.py:9-73``) with static shapes and zero host syncs:
+
+- the per-shape Python loop becomes ``vmap`` over the batch;
+- the fixed-iteration update loop becomes ``lax.scan`` (differentiable,
+  rematerialized backward);
+- NMS's ``np.unique`` host round-trip (``src/mean_shift.py:175``) becomes
+  on-device scatter/segment ops with a fixed number of output slots
+  ``K = max_num_clusters`` plus a validity mask;
+- the unbounded quantile-doubling retry (``src/ellipsoid_utils.py:19-27``)
+  becomes a static set of bandwidth candidates (quantile, 2*quantile, ...)
+  evaluated in parallel, selecting the first whose cluster count fits —
+  same semantics, compiler-friendly control flow.
+
+Math parity (against ``src/mean_shift.py``):
+  bandwidth  = mean over points of sqrt(K-th-NN squared chordal distance),
+               K = int(quantile * num_samples)                  (:138-160)
+  update     = new_X += (K @ X) / sum(K) - new_X; renormalize    (:50-84)
+               K = exp(-(2 - 2 <new_X, X>) / b^2 / 2)  [gaussian]
+  NMS        = nearest-converged-mode assignment -> per-mode counts ->
+               mode-graph (dist < b) -> representative = neighbor with the
+               biggest count -> unique representatives            (:162-202)
+  membership = column-normalized von-Mises kernel exp(<c,x>/b^2 - max)
+               with the max detached                              (:230-247)
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from prifit_tpu.utils.guard import guard_exp, guard_sqrt
+
+
+class ClusterResult(NamedTuple):
+    """Static-shape clustering output for one shape (or a batch of shapes).
+
+    Replaces the reference's ragged ``(centers[K_b, D], labels[N])`` per
+    shape with fixed ``K = max_num_clusters`` slots.
+    """
+    centers: jax.Array     # [K, D] cluster centers (zero-padded)
+    valid: jax.Array       # [K] bool, slot holds a real cluster
+    labels: jax.Array      # [N] int32, hard assignment into slots [0, K)
+    weights: jax.Array     # [N, K] soft membership (von-Mises), invalid=0
+    bandwidth: jax.Array   # [] selected bandwidth
+    num_clusters: jax.Array  # [] int32, number of valid slots
+
+
+def _chordal_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """2 - 2 <a, b> for unit vectors == squared chordal distance."""
+    return 2.0 - 2.0 * jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
+
+
+def compute_bandwidth(X: jax.Array, quantile: float,
+                      num_samples: int | None = None) -> jax.Array:
+    """Quantile-K-th-NN bandwidth (reference ``src/mean_shift.py:138-160``).
+
+    The reference subsamples ``num_samples`` rows; its default (5000)
+    exceeds N=2048 so in practice all points are used, which is what we do
+    (subsampling would need an rng and buys nothing at these sizes).
+
+    Args:
+        X: ``[N, D]`` unit-norm embeddings.
+        quantile: fraction of N giving the NN rank K.
+    Returns:
+        scalar bandwidth.
+    """
+    N = X.shape[0]
+    n = min(num_samples or N, N)
+    K = max(int(quantile * n), 1)
+    dist = _chordal_sqdist(X, X)
+    # K smallest per row; the K-th smallest is the bandwidth distance
+    neg_topk, _ = jax.lax.top_k(-dist, K)
+    kth = -neg_topk[:, -1]
+    return jnp.mean(guard_sqrt(kth, 1e-6))
+
+
+def _bandwidth_candidates(X: jax.Array, quantile: float,
+                          num_candidates: int) -> jax.Array:
+    """Bandwidths for quantile, 2q, 4q, ... from one shared top_k."""
+    N = X.shape[0]
+    Ks = [max(min(int(quantile * (2 ** c) * N), N), 1)
+          for c in range(num_candidates)]
+    K_max = max(Ks)
+    dist = _chordal_sqdist(X, X)
+    neg_topk, _ = jax.lax.top_k(-dist, K_max)
+    kths = jnp.stack([-neg_topk[:, k - 1] for k in Ks], axis=0)  # [C, N]
+    return jnp.mean(guard_sqrt(kths, 1e-6), axis=1)              # [C]
+
+
+def mean_shift_iterations(X: jax.Array, bandwidth: jax.Array,
+                          iterations: int,
+                          kernel_type: str = "gaussian") -> jax.Array:
+    """Fixed-iteration differentiable mean-shift updates.
+
+    Reference ``src/mean_shift.py:50-84``: every point is a seed; gaussian
+    kernel on chordal distance; each step moves seeds to the kernel-weighted
+    mean and renormalizes onto the unit sphere.
+
+    Args:
+        X: ``[N, D]`` unit-norm embeddings (gradient flows through).
+        bandwidth: scalar.
+        iterations: static iteration count.
+    Returns:
+        ``[N, D]`` converged modes (unit norm).
+    """
+    b2 = bandwidth ** 2
+
+    # remat: without this the backward pass stores every iteration's [N, N]
+    # kernel matrix (iters x B x candidates x N x N blew 32 GB HBM on a
+    # B=24, N=2048 run); recomputing them per backward step is cheap
+    # relative to the matmuls themselves.
+    @jax.checkpoint
+    def step(new_X, _):
+        dist = _chordal_sqdist(new_X, X)
+        if kernel_type == "gaussian":
+            K = guard_exp(-dist / b2 / 2.0)
+        elif kernel_type == "epanechnikov":
+            K = jax.nn.relu(0.75 * (1.0 - dist / b2))
+        else:
+            raise ValueError(f"unknown kernel {kernel_type}")
+        D = 1.0 / jnp.sum(K, axis=1, keepdims=True)
+        new_X = jnp.matmul(K, X, preferred_element_type=jnp.float32) * D
+        new_X = new_X / jnp.linalg.norm(new_X, axis=1, keepdims=True)
+        return new_X, None
+
+    out, _ = jax.lax.scan(step, X, None, length=iterations)
+    return out
+
+
+def nms_fixed_slots(modes: jax.Array, bandwidth: jax.Array,
+                    max_num_clusters: int):
+    """Non-max suppression of converged modes into fixed cluster slots.
+
+    Reference semantics (``src/mean_shift.py:162-202``) with the host-side
+    ``np.unique`` replaced by on-device scatters:
+
+      1. assign each point to its nearest mode (chordal argmin);
+      2. count members per mode;
+      3. modes closer than ``bandwidth`` (NOT squared — reference quirk,
+         ``mean_shift.py:191``) are neighbors; each occupied mode elects
+         the neighbor with the largest member count as its representative;
+      4. the distinct representatives are the surviving cluster centers.
+
+    Slot order: surviving mode ids ascending (== np.unique order).  If more
+    than ``max_num_clusters`` survive, the K with the largest elected-count
+    are kept (the reference instead re-runs everything with a doubled
+    quantile; the candidate loop in :func:`cluster_single` reproduces that,
+    this truncation is only the last-resort fallback).
+
+    Returns:
+        center_ids: [K] int32 indices into modes (padded with 0)
+        valid:      [K] bool
+        n_distinct: [] int32 — number of distinct labels over the
+                    untruncated center set (the reference's
+                    ``torch.unique(cluster_ids).shape[0]`` retry count).
+    """
+    N = modes.shape[0]
+    K = max_num_clusters
+
+    dist_mm = _chordal_sqdist(modes, modes)               # [N, N]
+    assign = jnp.argmin(dist_mm, axis=0)                  # nearest mode
+    counts = jnp.zeros((N,), jnp.float32).at[assign].add(1.0)
+    occupied = counts > 0
+
+    nbrs = (dist_mm < bandwidth).astype(jnp.float32)
+    # representative of mode i: neighbor j maximizing member count
+    rep = jnp.argmax(nbrs * counts[None, :], axis=1)      # [N]
+    # distinct representatives elected by occupied modes
+    is_center = jnp.zeros((N,), jnp.bool_).at[
+        jnp.where(occupied, rep, 0)].max(occupied)
+    n_selected = jnp.sum(is_center).astype(jnp.int32)
+
+    # the reference's retry condition counts DISTINCT LABELS over the full
+    # (untruncated) center set: labels = nearest selected center per mode
+    # (src/mean_shift.py:200-201, src/ellipsoid_utils.py:23)
+    dist_masked = jnp.where(is_center[:, None], dist_mm, jnp.inf)
+    label_full = jnp.argmin(dist_masked, axis=0)          # [N] mode ids
+    used = jnp.zeros((N,), jnp.bool_).at[label_full].set(True)
+    n_distinct = jnp.sum(used & is_center).astype(jnp.int32)
+
+    # rank candidates: keep the K largest elected counts, then order the
+    # kept ones by ascending mode id (matches np.unique order when <= K)
+    elected_count = jnp.where(is_center, counts, -1.0)
+    _, keep_ids = jax.lax.top_k(elected_count, K)          # by count desc
+    keep_valid = jnp.take(is_center, keep_ids) & (
+        jnp.arange(K) < jnp.minimum(n_selected, K))
+    # ascending id order among kept slots; invalid slots pushed to the end
+    sort_key = jnp.where(keep_valid, keep_ids, N + 1)
+    order = jnp.argsort(sort_key)
+    center_ids = jnp.take(keep_ids, order)
+    valid = jnp.take(keep_valid, order)
+    center_ids = jnp.where(valid, center_ids, 0)
+    return center_ids.astype(jnp.int32), valid, n_distinct
+
+
+def membership(centers: jax.Array, valid: jax.Array, X: jax.Array,
+               bandwidth: jax.Array) -> jax.Array:
+    """Soft von-Mises membership of each point to each cluster slot.
+
+    Reference ``src/mean_shift.py:230-247``: similarity / b^2, global max
+    subtracted through a detached path (deliberately not per-column — the
+    gradient must flow through the un-detached kernel), exp, normalize over
+    clusters.  Invalid slots contribute zero mass.
+
+    Returns:
+        ``[K, N]`` membership (columns sum to 1 over valid slots).
+    """
+    sim = jnp.matmul(centers, X.T,
+                     preferred_element_type=jnp.float32) / (bandwidth ** 2)
+    big_neg = jnp.float32(-1e9)
+    sim = jnp.where(valid[:, None], sim, big_neg)
+    sim = sim - jax.lax.stop_gradient(jnp.max(sim))
+    kernel = guard_exp(sim) * valid[:, None]
+    denom = jnp.sum(kernel, axis=0, keepdims=True)
+    return kernel / jnp.maximum(denom, 1e-12)
+
+
+@partial(jax.jit,
+         static_argnames=("quantile", "iterations", "max_num_clusters",
+                          "num_candidates", "kernel_type", "hard_weights"))
+def cluster_single(X: jax.Array, *, quantile: float = 0.01,
+                   iterations: int = 5, max_num_clusters: int = 25,
+                   num_candidates: int = 2,
+                   kernel_type: str = "gaussian",
+                   hard_weights: bool = False) -> ClusterResult:
+    """Cluster one shape's embeddings into fixed slots.
+
+    Equivalent of ``guard_mean_shift`` + ``clustering`` for one batch
+    element (``src/ellipsoid_utils.py:9-73``).  ``num_candidates``
+    bandwidths (quantile doubling each time) are evaluated in parallel and
+    the first with ``<= max_num_clusters`` distinct clusters wins —
+    mirroring the reference's retry loop with static control flow.
+
+    Args:
+        X: ``[N, D]`` embeddings; normalized to unit norm here (the
+           reference normalizes in convex_loss before clustering).
+        hard_weights: one-hot weights from the hard labels (the reference's
+           ``visualize`` branch, ``ellipsoid_utils.py:48-54``).
+    Returns:
+        :class:`ClusterResult` with ``weights [N, K]``.
+    """
+    X = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    bws = _bandwidth_candidates(X, quantile, num_candidates)   # [C]
+
+    def run_candidate(bw):
+        modes = mean_shift_iterations(X, bw, iterations, kernel_type)
+        center_ids, valid, n_distinct = nms_fixed_slots(
+            modes, bw, max_num_clusters)
+        centers = jnp.take(modes, center_ids, axis=0) * valid[:, None]
+        # final labels: nearest kept center per converged mode — the
+        # reference computes argmax of centers @ modes^T
+        # (mean_shift.py:200-201; nms is called with X = new_X)
+        sim = jnp.matmul(centers, modes.T, preferred_element_type=jnp.float32)
+        sim = jnp.where(valid[:, None], sim, -1e9)
+        labels = jnp.argmax(sim, axis=0).astype(jnp.int32)
+        return centers, valid, labels, n_distinct
+
+    centers_c, valid_c, labels_c, n_sel_c = jax.vmap(run_candidate)(bws)
+
+    fits = n_sel_c <= max_num_clusters                        # [C]
+    # first fitting candidate, else the last one (truncated fallback)
+    idx = jnp.argmax(fits)
+    sel = jnp.where(jnp.any(fits), idx, num_candidates - 1)
+
+    centers = centers_c[sel]
+    valid = valid_c[sel]
+    labels = labels_c[sel]
+    bw = bws[sel]
+
+    weights_kn = membership(centers, valid, X, bw)            # [K, N]
+    if hard_weights:
+        hard = jax.nn.one_hot(labels, max_num_clusters, dtype=weights_kn.dtype)
+        weights = hard * valid[None, :]
+    else:
+        weights = weights_kn.T                                # [N, K]
+    return ClusterResult(centers=centers, valid=valid, labels=labels,
+                         weights=weights, bandwidth=bw,
+                         num_clusters=jnp.sum(valid).astype(jnp.int32))
+
+
+def cluster_batch(X: jax.Array, **kwargs) -> ClusterResult:
+    """vmap of :func:`cluster_single` over the leading batch axis.
+
+    Replaces the reference's per-shape Python loop
+    (``src/ellipsoid_utils.py:43``) — the DataParallel-motivated design of
+    computing the loss inside forward becomes simple batch vectorization.
+    """
+    return jax.vmap(lambda x: cluster_single(x, **kwargs))(X)

@@ -1,0 +1,43 @@
+from prifit_tpu.geometry.sdf import (
+    sdf_ellipsoid,
+    sdf_cuboid,
+    sdf_primitives,
+)
+from prifit_tpu.geometry.fitting import (
+    PrimitiveParams,
+    eigh3_guarded,
+    fit_ellipsoid_weighted,
+    fit_ellipsoids,
+    fit_ellipsoids_batch,
+)
+from prifit_tpu.geometry.sampling import (
+    sample_ellipsoid_surface,
+    sample_cuboid_surface,
+    sample_primitives,
+)
+from prifit_tpu.geometry.losses import (
+    entropy_loss,
+    analytic_chamfer,
+    intersection_loss,
+    prune_mask,
+)
+from prifit_tpu.geometry.synthetic import create_synthetic_dataset
+
+__all__ = [
+    "sdf_ellipsoid",
+    "sdf_cuboid",
+    "sdf_primitives",
+    "PrimitiveParams",
+    "eigh3_guarded",
+    "fit_ellipsoid_weighted",
+    "fit_ellipsoids",
+    "fit_ellipsoids_batch",
+    "sample_ellipsoid_surface",
+    "sample_cuboid_surface",
+    "sample_primitives",
+    "entropy_loss",
+    "analytic_chamfer",
+    "intersection_loss",
+    "prune_mask",
+    "create_synthetic_dataset",
+]

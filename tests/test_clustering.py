@@ -1,0 +1,189 @@
+"""Mean-shift clustering tests.
+
+Includes a numpy oracle restating the reference algorithm
+(src/mean_shift.py) end-to-end so we check intended behavior: the oracle
+does the exact gaussian mean-shift updates, the count-based NMS with
+np.unique, and the von-Mises membership.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prifit_tpu.clustering import (
+    compute_bandwidth,
+    mean_shift_iterations,
+    cluster_single,
+    cluster_batch,
+    membership,
+)
+
+
+def make_blobs(rng, n_clusters=4, n_per=64, d=16):
+    """Well-separated unit-norm clusters on the hypersphere."""
+    dirs = rng.normal(size=(n_clusters, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts, lbl = [], []
+    for i, u in enumerate(dirs):
+        p = u[None] + 0.02 * rng.normal(size=(n_per, d))
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+        pts.append(p)
+        lbl.append(np.full(n_per, i))
+    return (np.concatenate(pts).astype(np.float32),
+            np.concatenate(lbl))
+
+
+# ---------------------------------------------------------------- oracle
+
+def oracle_bandwidth(X, quantile):
+    N = X.shape[0]
+    K = max(int(quantile * N), 1)
+    dist = 2 - 2 * X @ X.T
+    part = np.sort(dist, axis=1)[:, :K]
+    kth = np.sqrt(np.maximum(part[:, -1], 1e-6))
+    return kth.mean()
+
+
+def oracle_mean_shift(X, b, iterations):
+    new_X = X.copy()
+    for _ in range(iterations):
+        dist = 2.0 - 2.0 * new_X @ X.T
+        K = np.exp(np.clip(-dist / (b ** 2) / 2, -13, 75))
+        D = 1.0 / K.sum(1, keepdims=True)
+        new_X = new_X + (K @ X) * D - new_X
+        new_X = new_X / np.linalg.norm(new_X, axis=1, keepdims=True)
+    return new_X
+
+
+def oracle_nms(centers, X, b):
+    m = 2.0 - 2.0 * centers @ X.T
+    assign = m.argmin(0)
+    uniques, counts_ = np.unique(assign, return_counts=True)
+    num_mem = np.zeros(X.shape[0])
+    num_mem[uniques] = counts_
+    dist = 2.0 - 2.0 * centers @ centers.T
+    nbrs = (dist < b).astype(np.float64)
+    ids = np.unique((nbrs[uniques] * num_mem[None, :]).argmax(1))
+    sel = centers[ids]
+    labels = (sel @ X.T).argmax(0)
+    return sel, ids, labels
+
+
+# ----------------------------------------------------------------- tests
+
+def test_bandwidth_matches_oracle(rng):
+    X, _ = make_blobs(rng)
+    bw = float(compute_bandwidth(jnp.asarray(X), 0.05))
+    assert bw == pytest.approx(oracle_bandwidth(X, 0.05), rel=1e-4)
+
+
+def test_mean_shift_matches_oracle(rng):
+    X, _ = make_blobs(rng, n_clusters=3, n_per=32, d=8)
+    bw = oracle_bandwidth(X, 0.1)
+    got = np.asarray(mean_shift_iterations(jnp.asarray(X),
+                                           jnp.float32(bw), 7))
+    want = oracle_mean_shift(X, bw, 7)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_cluster_recovers_blobs(rng):
+    X, true_lbl = make_blobs(rng, n_clusters=4)
+    res = cluster_single(jnp.asarray(X), quantile=0.05, iterations=10,
+                         max_num_clusters=25)
+    assert int(res.num_clusters) == 4
+    labels = np.asarray(res.labels)
+    # perfect clustering up to relabeling
+    for i in range(4):
+        vals = labels[true_lbl == i]
+        assert (vals == vals[0]).all()
+    # distinct clusters get distinct labels
+    firsts = [labels[true_lbl == i][0] for i in range(4)]
+    assert len(set(firsts)) == 4
+
+
+def test_cluster_matches_oracle_pipeline(rng):
+    """Full parity: centers and labels vs the reference-math oracle."""
+    X, _ = make_blobs(rng, n_clusters=3, n_per=48, d=12)
+    q, iters = 0.05, 8
+    res = cluster_single(jnp.asarray(X), quantile=q, iterations=iters,
+                         max_num_clusters=25, num_candidates=1)
+
+    bw = oracle_bandwidth(X, q)
+    modes = oracle_mean_shift(X, bw, iters)
+    sel, ids, labels = oracle_nms(modes, modes, bw)
+
+    K = len(ids)
+    assert int(res.num_clusters) == K
+    got_centers = np.asarray(res.centers)[:K]
+    np.testing.assert_allclose(got_centers, sel, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res.labels), labels)
+
+
+def test_membership_matches_oracle(rng):
+    X, _ = make_blobs(rng, n_clusters=3, n_per=32, d=8)
+    res = cluster_single(jnp.asarray(X), quantile=0.05, iterations=8,
+                         max_num_clusters=25)
+    K = int(res.num_clusters)
+    centers = np.asarray(res.centers)[:K]
+    bw = float(res.bandwidth)
+
+    sim = centers @ X.T / bw ** 2
+    sim = sim - sim.max()
+    kern = np.exp(np.clip(sim, -13, 75))
+    want = kern / kern.sum(0, keepdims=True)
+
+    got = np.asarray(res.weights).T[:K]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+    # weights over valid slots sum to one per point
+    np.testing.assert_allclose(np.asarray(res.weights).sum(1),
+                               np.ones(X.shape[0]), rtol=1e-5)
+
+
+def test_candidate_doubling_caps_clusters(rng):
+    """A tiny quantile over-segments; extra candidates must cap the count."""
+    X, _ = make_blobs(rng, n_clusters=6, n_per=40, d=10)
+    res1 = cluster_single(jnp.asarray(X), quantile=0.002, iterations=4,
+                          max_num_clusters=4, num_candidates=1)
+    res4 = cluster_single(jnp.asarray(X), quantile=0.002, iterations=4,
+                          max_num_clusters=4, num_candidates=4)
+    # truncation fallback still respects the cap
+    assert int(res1.num_clusters) <= 4
+    assert int(res4.num_clusters) <= 4
+    # the multi-candidate run must have used a bigger bandwidth
+    assert float(res4.bandwidth) >= float(res1.bandwidth)
+
+
+def test_cluster_batch_shapes(rng):
+    X = np.stack([make_blobs(rng, n_clusters=3, n_per=40)[0],
+                  make_blobs(rng, n_clusters=5, n_per=24)[0]])
+    res = cluster_batch(jnp.asarray(X), quantile=0.05, iterations=5,
+                        max_num_clusters=25)
+    B, N, _ = X.shape
+    assert res.centers.shape == (B, 25, X.shape[-1])
+    assert res.weights.shape == (B, N, 25)
+    assert res.labels.shape == (B, N)
+    assert int(res.num_clusters[0]) == 3
+    assert int(res.num_clusters[1]) == 5
+
+
+def test_cluster_gradient_flows(rng):
+    X, _ = make_blobs(rng, n_clusters=3, n_per=32, d=8)
+
+    def loss(x):
+        res = cluster_single(x, quantile=0.05, iterations=4,
+                             max_num_clusters=8)
+        return jnp.sum(res.weights ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(X))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_hard_weights(rng):
+    X, _ = make_blobs(rng, n_clusters=3, n_per=32, d=8)
+    res = cluster_single(jnp.asarray(X), quantile=0.05, iterations=8,
+                         max_num_clusters=25, hard_weights=True)
+    w = np.asarray(res.weights)
+    assert set(np.unique(w)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(w.argmax(1), np.asarray(res.labels))
