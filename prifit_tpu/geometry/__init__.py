@@ -21,7 +21,8 @@ from prifit_tpu.geometry.losses import (
     intersection_loss,
     prune_mask,
 )
-from prifit_tpu.geometry.synthetic import create_synthetic_dataset
+from prifit_tpu.geometry.synthetic import SyntheticScene, create_synthetic_dataset
+from prifit_tpu.geometry.convex_loss import ConvexLossOutput, convex_loss
 
 __all__ = [
     "sdf_ellipsoid",
@@ -39,5 +40,8 @@ __all__ = [
     "analytic_chamfer",
     "intersection_loss",
     "prune_mask",
+    "SyntheticScene",
     "create_synthetic_dataset",
+    "ConvexLossOutput",
+    "convex_loss",
 ]
