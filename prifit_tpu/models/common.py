@@ -1,0 +1,104 @@
+"""Shared model output contract and loss functions.
+
+The reference's models return ad-hoc tuples with inconsistent arity (the
+MSG model's 8-tuple NameErrors in its own supervised path — SURVEY.md
+§2.9.1).  Every part-seg model here returns :class:`SegOutput`, the working
+5-tuple contract of ``models/pretrain_pointnet2_part_seg_msg.py:88``
+(seg logits, hidden features, feat, total selfsup loss, chamfer loss) plus
+the convex-loss byproducts (labels, fitted params) as an optional field.
+
+Loss functions are pure: the reference's ``get_loss``/``get_selfsup_loss``
+nn.Modules hold no parameters.
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SegOutput(NamedTuple):
+    """Part-segmentation forward output (working reference contract)."""
+    seg_logits: jax.Array          # [B, N, parts] log-probabilities
+    hidden: Any                    # encoder intermediates (model-specific)
+    feat: jax.Array                # [B, N, 128] pre-head features
+    total_loss: jax.Array          # [] self-sup total (0 when disabled)
+    chamfer_loss: jax.Array        # [] chamfer component (0 when disabled)
+    convex: Any = None             # ConvexLossOutput | None
+    trans_feat: Any = None         # STN feature transform (pointnet only)
+    recon_points: Any = None       # AtlasNet reconstruction | None
+
+
+def nll_loss(pred_logprob: jax.Array, target: jax.Array) -> jax.Array:
+    """Negative log likelihood over log-probability predictions.
+
+    The intended semantics of every reference ``get_loss`` — note
+    ``models/pointnet2_part_seg_msg.py:143`` applies ``F.cross_entropy``
+    to already-log-softmaxed outputs (a double-softmax quirk); this
+    implements the correct NLL used by the SSG/pointnet variants.
+
+    Args:
+        pred_logprob: ``[..., C]`` log-probabilities.
+        target: ``[...]`` int labels.
+    """
+    ll = jnp.take_along_axis(pred_logprob, target[..., None],
+                             axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def pairwise_contrastive_loss(feat: jax.Array, target: jax.Array,
+                              key: jax.Array, margin: float = 0.5,
+                              num_classes: int = 64) -> jax.Array:
+    """ACD pairwise contrastive self-sup loss.
+
+    Reference ``get_selfsup_loss`` (identical in four model files, e.g.
+    ``models/pointnet2_part_seg_msg.py:150-171``): cosine similarity of
+    normalized per-point features; positive pairs (same ACD component)
+    pull toward sim 1, negatives hinge at ``margin``; the diagonal is
+    masked and negatives are subsampled at the positive-pair rate.
+
+    Args:
+        feat: ``[B, N, C]`` per-point features (channel-last; the
+            reference is ``[B, C, N]``).
+        target: ``[B, N]`` int component labels.
+        key: PRNG key for negative subsampling.
+        num_classes: one-hot width; any value > max label is equivalent.
+    """
+    feat = feat / jnp.maximum(
+        jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+    pair_sim = jnp.matmul(feat, jnp.swapaxes(feat, 1, 2),
+                          preferred_element_type=jnp.float32)
+    onehot = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
+    pair_target = jnp.matmul(onehot, jnp.swapaxes(onehot, 1, 2),
+                             preferred_element_type=jnp.float32)
+
+    cosine = pair_target * (1.0 - pair_sim) \
+        + (1.0 - pair_target) * jax.nn.relu(pair_sim - margin)
+
+    N = feat.shape[1]
+    diag_mask = 1.0 - jnp.eye(N, dtype=jnp.float32)
+    pos = pair_target == 1.0
+    pos_fraction = jnp.mean(pos.astype(jnp.float32))
+    sample_neg = jax.random.uniform(key, pair_target.shape) \
+        > 1.0 - pos_fraction
+    sample_mask = (pos | sample_neg).astype(jnp.float32)
+    sample_mask = jax.lax.stop_gradient(sample_mask)
+
+    return 0.5 * jnp.mean(diag_mask[None] * sample_mask * cosine)
+
+
+def chamfer_loss_dense(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Symmetric dense chamfer (reference ``ChamferDistance``,
+    ``models/reconstruction.py:157-166``): sum of both directed means."""
+    d = jnp.sum(x ** 2, -1)[..., :, None] \
+        + jnp.sum(y ** 2, -1)[..., None, :] \
+        - 2.0 * jnp.matmul(x, jnp.swapaxes(y, -1, -2),
+                           preferred_element_type=jnp.float32)
+    d = jnp.maximum(d, 0.0)
+    return jnp.mean(jnp.min(d, axis=-1)) + jnp.mean(jnp.min(d, axis=-2))
+
+
+def to_categorical(y: jax.Array, num_classes: int = 16) -> jax.Array:
+    """One-hot category labels (reference
+    ``train_partseg_shapenet.py:48-53``)."""
+    return jax.nn.one_hot(y.reshape(-1), num_classes, dtype=jnp.float32)

@@ -1,0 +1,182 @@
+"""PointNet++ MSG part segmentation — the primary PRIFIT model.
+
+Rebuilds ``models/pointnet2_part_seg_msg.py`` as a flax module: SA-MSG(512)
+-> SA-MSG(128) -> SA-global(1024) -> FP3/FP2/FP1 (16-d one-hot category +
+xyz skip) -> 128-d feat head -> dropout 0.5 -> part logits (log-softmax),
+with the convex self-sup loss computed inside the forward pass (the
+reference does this so DataParallel shards it; here it simply keeps the
+whole pipeline in one jit).
+
+Differences from the reference (intended-behavior fixes, SURVEY §2.9.1):
+  - always returns the :class:`SegOutput` contract (the reference's
+    8-tuple NameErrors when ``include_convex_loss=False``);
+  - the stateful ``self.beta *= 0.99`` entropy decay lives in a mutable
+    ``selfsup_state`` collection (explicit state, same schedule).
+
+The ``extra_layers`` tower reproduces the reference faithfully, including
+its quirks: the ``*_bn*``-named layers are 1x1 convs (not norms), and
+``fp1_conv1_bn1`` is shared between the supervised and embedding towers.
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from prifit_tpu.geometry.convex_loss import convex_loss
+from prifit_tpu.models.common import (
+    SegOutput,
+    chamfer_loss_dense,
+    nll_loss,
+    pairwise_contrastive_loss,
+)
+from prifit_tpu.nn.atlasnet import AtlasNet
+from prifit_tpu.nn.norm import BatchNorm
+from prifit_tpu.nn.pointnet2 import (
+    FeaturePropagation,
+    SetAbstraction,
+    SetAbstractionMsg,
+)
+
+
+class get_model(nn.Module):
+    num_parts: int
+    normal_channel: bool = False
+    l2_norm: bool = False
+    reconstruct: bool = False
+    extra_layers: bool = False
+    num_charts: int = 25
+    num_points: int = 128
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xyz, cls_label, chamfer_points=None, *,
+                 train: bool = True, bn_momentum=0.1,
+                 include_convex_loss: bool = False,
+                 if_cuboid: bool = False,
+                 include_intersect_loss: bool = False,
+                 include_entropy_loss: bool = False,
+                 include_pruning: bool = False,
+                 quantile: float = 0.01, msc_iterations: int = 5,
+                 max_num_clusters: int = 25, n_per_prim: int = 400,
+                 alpha=1.0, evaluation: bool = False,
+                 embed: bool = False) -> SegOutput:
+        """xyz [B, N, 3(+3)] channel-last; cls_label [B, 16] one-hot."""
+        B, N, _ = xyz.shape
+        an = self.axis_name
+        l0_points = xyz
+        l0_xyz = xyz[..., :3]
+
+        l1_xyz, l1_points = SetAbstractionMsg(
+            512, [0.1, 0.2, 0.4], [32, 64, 128],
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, name="sa1")(
+                l0_xyz, l0_points, train, bn_momentum)
+        l2_xyz, l2_points = SetAbstractionMsg(
+            128, [0.4, 0.8], [64, 128],
+            [[128, 128, 256], [128, 196, 256]], an, name="sa2")(
+                l1_xyz, l1_points, train, bn_momentum)
+        l3_xyz, l3_points = SetAbstraction(
+            None, None, None, [256, 512, 1024], group_all=True,
+            axis_name=an, name="sa3")(l2_xyz, l2_points, train, bn_momentum)
+
+        l2_points = FeaturePropagation([256, 256], an, name="fp3")(
+            l2_xyz, l3_xyz, l2_points, l3_points, train, bn_momentum)
+        l1_points = FeaturePropagation([256, 128], an, name="fp2")(
+            l1_xyz, l2_xyz, l1_points, l2_points, train, bn_momentum)
+
+        cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
+        skip = jnp.concatenate([cls_onehot, l0_xyz, l0_points], axis=-1)
+
+        if self.extra_layers:
+            l0_points_ = FeaturePropagation([], an, name="fp1")(
+                l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
+            # reference quirk: the *_bn* layers here are 1x1 convs
+            fp1_conv1_bn1 = nn.Dense(128, name="fp1_conv1_bn1")
+            l0_points = nn.relu(nn.Dense(128, name="fp1_conv2_bn2")(
+                nn.Dense(128, name="fp1_conv2")(nn.relu(
+                    fp1_conv1_bn1(nn.Dense(128, name="fp1_conv1")(
+                        l0_points_))))))
+        else:
+            l0_points = FeaturePropagation([128, 128], an, name="fp1")(
+                l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
+
+        feat = nn.relu(BatchNorm(axis_name=an, name="bn1")(
+            nn.Dense(128, name="conv1")(l0_points),
+            use_running_average=not train, momentum=bn_momentum))
+
+        zero = jnp.zeros((), jnp.float32)
+        total_loss, chamfer = zero, zero
+        convex_out = None
+        feat_embed = None
+
+        extra_conv_emb = nn.Dense(128, name="extra_conv_emb")
+        if embed and not include_convex_loss:
+            feat_embed = extra_conv_emb(feat)
+
+        if include_convex_loss:
+            # entropy-weight decay beta *= 0.99 until 0.001 (reference
+            # :96-99 mutates module state inside forward)
+            beta_var = self.variable("selfsup_state", "beta",
+                                     lambda: jnp.ones((), jnp.float32))
+            beta = beta_var.value
+            new_beta = jnp.where(beta > 0.001, beta * 0.99, beta)
+            if not self.is_initializing():
+                beta_var.value = new_beta
+            beta_eff = jnp.where(beta > 0.001, new_beta, 0.0)
+
+            if self.extra_layers:
+                emb = nn.relu(nn.Dense(128, name="fp1_embed_conv2_bn2")(
+                    nn.Dense(128, name="fp1_embed_conv2")(nn.relu(
+                        fp1_conv1_bn1(nn.Dense(
+                            128, name="fp1_embed_conv1")(l0_points_))))))
+                emb = nn.relu(BatchNorm(axis_name=an, name="conv1_embed_bn")(
+                    nn.Dense(128, name="conv1_embed")(emb),
+                    use_running_average=not train, momentum=bn_momentum))
+                emb = nn.relu(BatchNorm(axis_name=an, name="conv2_embed_bn")(
+                    nn.Dense(128, name="conv2_embed")(emb),
+                    use_running_average=not train, momentum=bn_momentum))
+                feat_embed = extra_conv_emb(emb)
+            else:
+                feat_embed = extra_conv_emb(feat)
+
+            key = self.make_rng("selfsup") if train else None
+            convex_out = convex_loss(
+                l0_xyz, chamfer_points, feat_embed,
+                quantile=quantile, iterations=msc_iterations,
+                max_num_clusters=max_num_clusters, n_per_prim=n_per_prim,
+                include_intersect_loss=include_intersect_loss,
+                include_entropy_loss=include_entropy_loss,
+                include_pruning=include_pruning,
+                alpha=alpha, beta=beta_eff, if_cuboid=if_cuboid,
+                evaluation=evaluation, key=key)
+            total_loss, chamfer = convex_out.total, convex_out.chamfer
+
+        recon = None
+        if self.reconstruct:
+            z = jnp.mean(l0_points, axis=1)
+            recon = AtlasNet(128, self.num_charts, self.num_points,
+                             axis_name=an, name="atlasnet")(
+                                 z, train, bn_momentum)
+            total_loss = total_loss + chamfer_loss_dense(recon, l0_xyz)
+            chamfer = zero
+
+        x = nn.Dropout(0.5, deterministic=not train, name="drop1")(feat)
+        x = nn.Dense(self.num_parts, name="conv2")(x)
+        x = jax.nn.log_softmax(x, axis=-1)
+
+        return SegOutput(seg_logits=x,
+                         hidden=(l1_points, l2_points, l3_points),
+                         feat=feat, total_loss=total_loss,
+                         chamfer_loss=chamfer, convex=convex_out,
+                         recon_points=recon)
+
+
+def get_loss(pred, target, trans_feat=None):
+    """NLL over log-probs (see ``nll_loss`` for the reference
+    cross-entropy-on-log-probs quirk this corrects)."""
+    return nll_loss(pred, target)
+
+
+def get_selfsup_loss(feat, target, key, margin=0.5):
+    """ACD pairwise contrastive loss
+    (``models/pointnet2_part_seg_msg.py:147-171``)."""
+    return pairwise_contrastive_loss(feat, target, key, margin)

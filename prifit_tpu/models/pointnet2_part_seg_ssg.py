@@ -1,0 +1,63 @@
+"""PointNet++ SSG part segmentation (few-shot baseline).
+
+Rebuilds ``models/pointnet2_part_seg_ssg.py``: SA(512, r=0.2, K=32) ->
+SA(128, r=0.4, K=64) -> SA-global -> FP x3 -> 128-d head.  The reference
+returns a plain 2-tuple; here the uniform :class:`SegOutput` contract is
+used (hidden = l3 global features).
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from prifit_tpu.models.common import SegOutput, nll_loss
+from prifit_tpu.nn.norm import BatchNorm
+from prifit_tpu.nn.pointnet2 import FeaturePropagation, SetAbstraction
+
+
+class get_model(nn.Module):
+    num_classes: int
+    normal_channel: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xyz, cls_label, *, train: bool = True,
+                 bn_momentum=0.1, **_unused) -> SegOutput:
+        B, N, _ = xyz.shape
+        an = self.axis_name
+        l0_points = xyz
+        l0_xyz = xyz[..., :3]
+
+        l1_xyz, l1_points = SetAbstraction(
+            512, 0.2, 32, [64, 64, 128], axis_name=an, name="sa1")(
+                l0_xyz, l0_points, train, bn_momentum)
+        l2_xyz, l2_points = SetAbstraction(
+            128, 0.4, 64, [128, 128, 256], axis_name=an, name="sa2")(
+                l1_xyz, l1_points, train, bn_momentum)
+        l3_xyz, l3_points = SetAbstraction(
+            None, None, None, [256, 512, 1024], group_all=True,
+            axis_name=an, name="sa3")(l2_xyz, l2_points, train, bn_momentum)
+
+        l2_points = FeaturePropagation([256, 256], an, name="fp3")(
+            l2_xyz, l3_xyz, l2_points, l3_points, train, bn_momentum)
+        l1_points = FeaturePropagation([256, 128], an, name="fp2")(
+            l1_xyz, l2_xyz, l1_points, l2_points, train, bn_momentum)
+        cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
+        skip = jnp.concatenate([cls_onehot, l0_xyz, l0_points], axis=-1)
+        l0_points = FeaturePropagation([128, 128, 128], an, name="fp1")(
+            l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
+
+        feat = nn.relu(BatchNorm(axis_name=an, name="bn1")(
+            nn.Dense(128, name="conv1")(l0_points),
+            use_running_average=not train, momentum=bn_momentum))
+        x = nn.Dropout(0.5, deterministic=not train, name="drop1")(feat)
+        x = nn.Dense(self.num_classes, name="conv2")(x)
+        x = jax.nn.log_softmax(x, axis=-1)
+
+        zero = jnp.zeros((), jnp.float32)
+        return SegOutput(seg_logits=x, hidden=l3_points, feat=feat,
+                         total_loss=zero, chamfer_loss=zero)
+
+
+def get_loss(pred, target, trans_feat=None):
+    return nll_loss(pred, target)

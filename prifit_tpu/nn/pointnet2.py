@@ -1,0 +1,141 @@
+"""PointNet++ building blocks as flax modules (channel-last, TPU-first).
+
+Rebuilds ``models/pointnet_util.py:160-314`` with the geometry coming from
+``prifit_tpu.ops``.  Torch's 1x1 Conv2d/Conv1d shared MLPs are plain
+``Dense`` layers over the channel-last axis (identical math, and XLA fuses
+the gather -> dense -> max chain).  BN momentum is a traced argument so the
+reference's per-epoch momentum schedule doesn't recompile.
+
+All modules take ``train: bool`` (static) and optional ``bn_momentum``.
+FPS uses the flax RNG collection ``"sampling"`` when training (the
+reference uses a random start point, ``pointnet_util.py:71``) and a
+deterministic start in eval.
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from prifit_tpu.nn.norm import BatchNorm
+from prifit_tpu.ops.sampling import (
+    farthest_point_sample,
+    index_points,
+    query_ball_point,
+    sample_and_group_all,
+    three_nn_interpolate,
+)
+
+
+class PointMLP(nn.Module):
+    """Shared per-point MLP: [Dense -> BN -> ReLU] x len(features)."""
+    features: Sequence[int]
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, bn_momentum=0.1):
+        for f in self.features:
+            x = nn.Dense(f)(x)
+            x = BatchNorm(axis_name=self.axis_name)(
+                x, use_running_average=not train, momentum=bn_momentum)
+            x = nn.relu(x)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """Single-scale grouping SA layer (``pointnet_util.py:160-201``).
+
+    Grouped features are ``concat([xyz - center, point_feats])`` (xyz
+    first — note MSG uses the opposite order, matching the reference).
+    """
+    npoint: int | None
+    radius: float | None
+    nsample: int | None
+    mlp: Sequence[int]
+    group_all: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
+        """xyz [B, N, 3], points [B, N, D] or None ->
+        (new_xyz [B, S, 3], new_points [B, S, mlp[-1]])."""
+        if self.group_all:
+            new_xyz, grouped = sample_and_group_all(xyz, points)
+        else:
+            if train:
+                key = self.make_rng("sampling")
+                fps_idx = farthest_point_sample(xyz, self.npoint, key=key)
+            else:
+                fps_idx = farthest_point_sample(xyz, self.npoint,
+                                                deterministic=True)
+            new_xyz = index_points(xyz, fps_idx)
+            idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped = jnp.concatenate(
+                    [grouped_xyz, index_points(points, idx)], axis=-1)
+            else:
+                grouped = grouped_xyz
+        out = PointMLP(self.mlp, self.axis_name)(grouped, train, bn_momentum)
+        return new_xyz, jnp.max(out, axis=2)
+
+
+class SetAbstractionMsg(nn.Module):
+    """Multi-scale grouping SA layer (``pointnet_util.py:204-261``).
+
+    One FPS, then per-radius ball-query/group/MLP/max, channel concat.
+    Grouped features are ``concat([point_feats, xyz - center])`` (features
+    first — the reference's MSG ordering, opposite of SSG).
+    """
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
+        if train:
+            key = self.make_rng("sampling")
+            fps_idx = farthest_point_sample(xyz, self.npoint, key=key)
+        else:
+            fps_idx = farthest_point_sample(xyz, self.npoint,
+                                            deterministic=True)
+        new_xyz = index_points(xyz, fps_idx)
+
+        outs = []
+        for radius, k, mlp in zip(self.radius_list, self.nsample_list,
+                                  self.mlp_list):
+            idx = query_ball_point(radius, k, xyz, new_xyz)
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped = jnp.concatenate(
+                    [index_points(points, idx), grouped_xyz], axis=-1)
+            else:
+                grouped = grouped_xyz
+            out = PointMLP(mlp, self.axis_name)(grouped, train, bn_momentum)
+            outs.append(jnp.max(out, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """3-NN inverse-distance upsampling + skip concat + MLP
+    (``pointnet_util.py:264-314``).  ``mlp`` may be empty (the reference's
+    extra_layers fp1 variant)."""
+    mlp: Sequence[int]
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, points1, points2, train: bool,
+                 bn_momentum=0.1):
+        """xyz1 [B, N, 3] dense, xyz2 [B, S, 3] coarse,
+        points1 [B, N, D1] skip or None, points2 [B, S, D2]."""
+        interpolated = three_nn_interpolate(xyz1, xyz2, points2)
+        if points1 is not None:
+            x = jnp.concatenate([points1, interpolated], axis=-1)
+        else:
+            x = interpolated
+        if self.mlp:
+            x = PointMLP(self.mlp, self.axis_name)(x, train, bn_momentum)
+        return x

@@ -1,0 +1,209 @@
+"""Model zoo tests: shapes, registry, losses, convex-loss integration.
+
+The reference has no model tests beyond ``__main__`` smoke blocks
+(SURVEY.md §4); these are the forward-shape/finiteness/grad checks those
+blocks imply, on tiny point counts to keep CPU CI fast.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prifit_tpu.models import (
+    MODEL_NAMES,
+    SegOutput,
+    get_module,
+    nll_loss,
+    pairwise_contrastive_loss,
+    to_categorical,
+)
+
+B, N, PARTS = 2, 128, 50
+
+
+def _init_and_apply(model, args, method_kwargs=None, rngs_extra=()):
+    kw = dict(method_kwargs or {})
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    for name in rngs_extra:
+        rngs[name] = jax.random.PRNGKey(3)
+    variables = model.init(rngs, *args, train=True, **kw)
+    out, updates = model.apply(
+        variables, *args, train=True, rngs=rngs,
+        mutable=["batch_stats", "selfsup_state"], **kw)
+    return out, variables, updates
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def cls_onehot():
+    return to_categorical(jnp.zeros((B, 1), jnp.int32))
+
+
+class TestRegistry:
+    def test_all_names_resolve(self):
+        for name in MODEL_NAMES:
+            mod = get_module(name)
+            assert hasattr(mod, "get_model")
+            assert hasattr(mod, "get_loss")
+
+    def test_dgcnn_substring(self):
+        assert get_module("dgcnn_seg").__name__.endswith("dgcnn")
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            get_module("resnet50")
+
+
+class TestPartSegModels:
+    @pytest.mark.parametrize("name", ["pointnet2_part_seg_ssg",
+                                      "pointnet2_part_seg_msg",
+                                      "pretrain_pointnet2_part_seg_msg",
+                                      "pointnet_part_seg"])
+    def test_forward_shapes(self, name, cloud, cls_onehot):
+        mod = get_module(name)
+        if name == "pointnet_part_seg":
+            model = mod.get_model(part_num=PARTS, normal_channel=False)
+        elif name == "pointnet2_part_seg_ssg":
+            model = mod.get_model(num_classes=PARTS)
+        else:
+            model = mod.get_model(num_parts=PARTS)
+        out, _, _ = _init_and_apply(model, (cloud, cls_onehot))
+        assert isinstance(out, SegOutput)
+        assert out.seg_logits.shape == (B, N, PARTS)
+        assert out.feat.shape[-1] == 128
+        # log-softmax: rows sum to 1 in prob space
+        np.testing.assert_allclose(
+            np.exp(np.asarray(out.seg_logits)).sum(-1), 1.0, atol=1e-4)
+
+    def test_msg_convex_loss_integration(self, cloud, cls_onehot):
+        mod = get_module("pointnet2_part_seg_msg")
+        model = mod.get_model(num_parts=PARTS)
+        kw = dict(chamfer_points=cloud, include_convex_loss=True,
+                  quantile=0.05, msc_iterations=3, max_num_clusters=8,
+                  n_per_prim=32)
+        out, _, updates = _init_and_apply(
+            model, (cloud, cls_onehot), kw, rngs_extra=("selfsup",))
+        assert np.isfinite(float(out.total_loss))
+        assert out.convex is not None
+        assert out.convex.params.r.shape == (B, 8, 3)
+        # beta decayed by one forward step
+        beta = updates["selfsup_state"]["beta"]
+        np.testing.assert_allclose(float(beta), 0.99, atol=1e-6)
+
+    def test_msg_extra_layers(self, cloud, cls_onehot):
+        mod = get_module("pointnet2_part_seg_msg")
+        model = mod.get_model(num_parts=PARTS, extra_layers=True)
+        kw = dict(chamfer_points=cloud, include_convex_loss=True,
+                  quantile=0.05, msc_iterations=2, max_num_clusters=4,
+                  n_per_prim=16)
+        out, _, _ = _init_and_apply(model, (cloud, cls_onehot), kw,
+                                    rngs_extra=("selfsup",))
+        assert np.isfinite(float(out.total_loss))
+
+    def test_eval_mode_deterministic(self, cloud, cls_onehot):
+        mod = get_module("pointnet2_part_seg_ssg")
+        model = mod.get_model(num_classes=PARTS)
+        _, variables, _ = _init_and_apply(model, (cloud, cls_onehot))
+        out1 = model.apply(variables, cloud, cls_onehot, train=False)
+        out2 = model.apply(variables, cloud, cls_onehot, train=False)
+        np.testing.assert_array_equal(np.asarray(out1.seg_logits),
+                                      np.asarray(out2.seg_logits))
+
+    def test_supervised_grad_flows(self, cloud, cls_onehot):
+        mod = get_module("pointnet2_part_seg_ssg")
+        model = mod.get_model(num_classes=PARTS)
+        _, variables, _ = _init_and_apply(model, (cloud, cls_onehot))
+        target = jnp.zeros((B, N), jnp.int32)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                cloud, cls_onehot, train=True,
+                rngs={"sampling": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"])
+            return mod.get_loss(out.seg_logits, target)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(l)) for l in leaves)
+        assert any(np.abs(l).max() > 0 for l in leaves)
+
+
+class TestOtherModels:
+    def test_cls_models(self, cloud):
+        for name in ["pointnet_cls", "pointnet2_cls_ssg",
+                     "pointnet2_cls_msg"]:
+            mod = get_module(name)
+            if name == "pointnet_cls":
+                model = mod.get_model(k=40, normal_channel=False)
+            else:
+                model = mod.get_model(num_class=40, normal_channel=False)
+            (logp, _aux), _, _ = _init_and_apply(model, (cloud,))
+            assert logp.shape == (B, 40)
+
+    def test_sem_seg_models(self, cloud):
+        for name in ["pointnet_sem_seg", "pointnet2_sem_seg"]:
+            mod = get_module(name)
+            if name == "pointnet_sem_seg":
+                model = mod.get_model(num_class=13, with_rgb=False)
+                x = jnp.concatenate([cloud, cloud], -1)  # encoder wants 6ch
+            else:
+                model = mod.get_model(num_classes=13, with_rgb=False)
+                x = cloud
+            (logp, _), _, _ = _init_and_apply(model, (x,))
+            assert logp.shape == (B, N, 13)
+
+    def test_dgcnn(self, cloud):
+        mod = get_module("dgcnn")
+        model = mod.get_model(num_parts=3, nn_nb=16)
+        out, _, _ = _init_and_apply(model, (cloud, None))
+        assert out.seg_logits.shape == (B, N, 3)
+        assert out.feat.shape == (B, N, 128)
+
+    def test_reconstruction(self, cloud, cls_onehot):
+        mod = get_module("reconstruction")
+        model = mod.get_model(num_classes=PARTS, num_charts=4,
+                              num_points=16)
+        out, _, _ = _init_and_apply(model, (cloud, cls_onehot))
+        assert out.recon_points.shape == (B, 4 * 16, 3)
+
+
+class TestLosses:
+    def test_nll_matches_manual(self):
+        logits = jax.nn.log_softmax(
+            jnp.asarray(np.random.default_rng(0).normal(size=(4, 8, 5)),
+                        jnp.float32))
+        target = jnp.asarray(
+            np.random.default_rng(1).integers(0, 5, (4, 8)))
+        got = float(nll_loss(logits, target))
+        want = -np.mean(np.take_along_axis(
+            np.asarray(logits), np.asarray(target)[..., None], -1))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_contrastive_perfect_embedding_low(self):
+        # features == one-hot of target: positives sim=1, negatives sim=0
+        target = jnp.asarray(np.arange(32) % 4)[None]        # [1, 32]
+        feat = jax.nn.one_hot(target, 8)                     # [1, 32, 8]
+        l_perfect = float(pairwise_contrastive_loss(
+            feat, target, jax.random.PRNGKey(0)))
+        rnd = jax.random.normal(jax.random.PRNGKey(1), feat.shape)
+        l_rand = float(pairwise_contrastive_loss(
+            rnd, target, jax.random.PRNGKey(0)))
+        assert l_perfect < 1e-6
+        assert l_rand > l_perfect
+
+    def test_to_categorical(self):
+        y = jnp.asarray([[2], [5]])
+        oh = to_categorical(y)
+        assert oh.shape == (2, 16)
+        assert float(oh[0, 2]) == 1.0 and float(oh[1, 5]) == 1.0
