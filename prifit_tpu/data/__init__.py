@@ -1,0 +1,22 @@
+from prifit_tpu.data.shapenet import (
+    SEG_CLASSES,
+    pc_normalize,
+    PartNormalDataset,
+    SelfSupPartNormalDataset,
+    ACDSelfSupDataset,
+    MultiACDSelfSupDataset,
+)
+from prifit_tpu.data.loader import DataLoader, shard_for_host
+from prifit_tpu.data import provider
+
+__all__ = [
+    "SEG_CLASSES",
+    "pc_normalize",
+    "PartNormalDataset",
+    "SelfSupPartNormalDataset",
+    "ACDSelfSupDataset",
+    "MultiACDSelfSupDataset",
+    "DataLoader",
+    "shard_for_host",
+    "provider",
+]

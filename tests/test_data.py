@@ -1,0 +1,246 @@
+"""Data layer tests: datasets, augmentations, loader/sharding."""
+
+import numpy as np
+import pytest
+
+from prifit_tpu.data import (
+    ACDSelfSupDataset,
+    DataLoader,
+    MultiACDSelfSupDataset,
+    PartNormalDataset,
+    SelfSupPartNormalDataset,
+    pc_normalize,
+    provider,
+    shard_for_host,
+)
+from tests.fixtures import make_acd_fixture, make_shapenet_fixture
+
+
+@pytest.fixture(scope="module")
+def shapenet_root(tmp_path_factory):
+    return make_shapenet_fixture(
+        str(tmp_path_factory.mktemp("shapenet")), n_per_cat=8, n_points=64)
+
+
+@pytest.fixture(scope="module")
+def acd_root(tmp_path_factory):
+    return make_acd_fixture(str(tmp_path_factory.mktemp("acd")),
+                            n_shapes=10, n_points=120)
+
+
+class TestPartNormalDataset:
+    def test_item_shapes(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=32, split="train",
+                               rng=np.random.default_rng(0))
+        pts, cls, seg = ds[0]
+        assert pts.shape == (32, 3)
+        assert cls.shape == (1,) and cls.dtype == np.int32
+        assert seg.shape == (32,)
+
+    def test_normal_channel(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=16,
+                               normal_channel=True,
+                               rng=np.random.default_rng(0))
+        pts, _, _ = ds[0]
+        assert pts.shape == (16, 6)
+
+    def test_unit_sphere_normalization(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=64,
+                               rng=np.random.default_rng(0))
+        pts, _, _ = ds[0]
+        assert np.linalg.norm(pts, axis=1).max() <= 1.0 + 1e-5
+
+    def test_k_shot(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=16, k_shot=2,
+                               rng=np.random.default_rng(0))
+        # 3 categories x 2 shots
+        assert len(ds) == 6
+
+    def test_seg_labels_in_category_range(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=64,
+                               rng=np.random.default_rng(0))
+        for i in range(len(ds)):
+            pts, cls, seg = ds[i]
+            cat = [k for k, v in ds.classes.items() if v == int(cls[0])][0]
+            valid = set(ds.seg_classes[cat])
+            assert set(seg.tolist()) <= valid
+
+    def test_splits_disjoint(self, shapenet_root):
+        rng = np.random.default_rng(0)
+        tr = PartNormalDataset(shapenet_root, split="train", rng=rng)
+        te = PartNormalDataset(shapenet_root, split="test", rng=rng)
+        tr_fns = {fn for _, fn in tr.datapath}
+        te_fns = {fn for _, fn in te.datapath}
+        assert tr_fns and te_fns and not (tr_fns & te_fns)
+
+
+class TestSelfSupDatasets:
+    def test_labeled_exclusion(self, shapenet_root):
+        rng = np.random.default_rng(0)
+        labeled = PartNormalDataset(shapenet_root, split="train", k_shot=2,
+                                    rng=rng)
+        labeled_fns = [fn for _, fn in labeled.datapath]
+        ss = SelfSupPartNormalDataset(shapenet_root, split="trainval",
+                                      labeled_fns=labeled_fns, rng=rng)
+        ss_fns = {osp_basename(fn) for _, fn in ss.datapath}
+        assert not ss_fns & {osp_basename(f) for f in labeled_fns}
+
+    def test_acd_four_tuple(self, acd_root):
+        ds = ACDSelfSupDataset(acd_root, npoints=48,
+                               rng=np.random.default_rng(0))
+        pts, chamfer, cls, seg = ds[0]
+        assert pts.shape == (48, 3)
+        assert chamfer.shape == (120, 3)   # full resolution
+        assert seg.shape == (48,)
+        assert seg.max() < 4
+
+    def test_acd_use_val_split(self, acd_root):
+        full = ACDSelfSupDataset(acd_root, rng=np.random.default_rng(0))
+        train = ACDSelfSupDataset(acd_root, use_val=True,
+                                  rng=np.random.default_rng(0))
+        train_fns = [fn for _, fn in train.datapath]
+        val = ACDSelfSupDataset(acd_root, exclude_fns=train_fns,
+                                rng=np.random.default_rng(1))
+        assert len(train) == 8      # floor(10 * 0.8)
+        assert len(val) == len(full) - len(train)
+        assert not set(fn for _, fn in val.datapath) & set(train_fns)
+
+    def test_multi_acd_three_tuple(self, acd_root):
+        ds = MultiACDSelfSupDataset(acd_root, npoints=32,
+                                    rng=np.random.default_rng(0))
+        item = ds[0]
+        assert len(item) == 3
+
+    def test_cache_hit_consistent(self, acd_root):
+        ds = ACDSelfSupDataset(acd_root, npoints=32,
+                               rng=np.random.default_rng(0))
+        _ = ds[0]
+        # second access hits the cache (fixed vs reference dead-local bug)
+        _, chamfer1, cls1, _ = ds[0]
+        assert chamfer1.shape == (120, 3)
+        assert cls1.dtype == np.int32
+
+    def test_prefetch(self, acd_root):
+        ds = ACDSelfSupDataset(acd_root, npoints=32, prefetch=True,
+                               rng=np.random.default_rng(0))
+        assert len(ds.cache) == len(ds)
+
+
+def osp_basename(p):
+    import os.path
+    return os.path.basename(p)
+
+
+class TestProvider:
+    def setup_method(self):
+        self.rng = np.random.default_rng(7)
+        self.batch = self.rng.normal(size=(4, 100, 3)).astype(np.float32)
+
+    def test_normalize_data(self):
+        out = provider.normalize_data(self.batch)
+        assert np.allclose(out.mean(1), 0, atol=1e-5)
+        assert np.allclose(np.linalg.norm(out, axis=2).max(1), 1, atol=1e-5)
+
+    def test_rotations_preserve_norms(self):
+        for fn in [provider.rotate_point_cloud, provider.rotate_point_cloud_z,
+                   provider.rotate_perturbation_point_cloud]:
+            out = fn(self.batch, rng=np.random.default_rng(0))
+            np.testing.assert_allclose(np.linalg.norm(out, axis=2),
+                                       np.linalg.norm(self.batch, axis=2),
+                                       rtol=1e-4)
+
+    def test_rotate_by_angle_identity(self):
+        out = provider.rotate_point_cloud_by_angle(self.batch, 0.0)
+        np.testing.assert_allclose(out, self.batch, atol=1e-6)
+
+    def test_scale_range(self):
+        out = provider.random_scale_point_cloud(
+            self.batch, rng=np.random.default_rng(0))
+        ratio = out / self.batch
+        assert np.nanmin(ratio) >= 0.8 - 1e-6
+        assert np.nanmax(ratio) <= 1.25 + 1e-6
+
+    def test_shift_range(self):
+        out = provider.shift_point_cloud(self.batch,
+                                         rng=np.random.default_rng(0))
+        d = out - self.batch
+        # per-cloud constant shift
+        assert np.allclose(d.std(axis=1), 0, atol=1e-6)
+        assert np.abs(d).max() <= 0.1 + 1e-6
+
+    def test_jitter_clip(self):
+        out = provider.jitter_point_cloud(self.batch,
+                                          rng=np.random.default_rng(0))
+        assert np.abs(out - self.batch).max() <= 0.05 + 1e-6
+
+    def test_dropout_to_first_point(self):
+        out = provider.random_point_dropout(
+            self.batch, rng=np.random.default_rng(3))
+        changed = ~np.isclose(out, self.batch).all(-1)
+        first = self.batch[:, :1, :]
+        for b in range(4):
+            if changed[b].any():
+                assert np.allclose(out[b][changed[b]], first[b])
+
+    def test_no_inplace_mutation(self):
+        before = self.batch.copy()
+        provider.shift_point_cloud(self.batch, rng=np.random.default_rng(0))
+        provider.random_scale_point_cloud(self.batch,
+                                          rng=np.random.default_rng(0))
+        provider.random_point_dropout(self.batch,
+                                      rng=np.random.default_rng(0))
+        np.testing.assert_array_equal(self.batch, before)
+
+    def test_anisotropic_scale(self):
+        out = provider.random_anisotropic_scale_point_cloud(
+            self.batch, rng=np.random.default_rng(0))
+        ratio = out / self.batch
+        # per-axis constant within a cloud
+        assert np.allclose(ratio.std(axis=1), 0, atol=1e-4)
+
+
+class TestDataLoader:
+    def test_batching(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=32,
+                               rng=np.random.default_rng(0))
+        dl = DataLoader(ds, batch_size=4, shuffle=True)
+        batches = list(dl)
+        assert len(batches) == len(ds) // 4
+        pts, cls, seg = batches[0]
+        assert pts.shape == (4, 32, 3)
+        assert cls.shape == (4, 1)
+        assert seg.shape == (4, 32)
+
+    def test_acd_chamfer_collation(self, acd_root):
+        ds = ACDSelfSupDataset(acd_root, npoints=32,
+                               rng=np.random.default_rng(0))
+        dl = DataLoader(ds, batch_size=2, chamfer_npoints=100)
+        pts, chamfer, cls, seg = next(iter(dl))
+        assert chamfer.shape == (2, 100, 3)
+
+    def test_host_sharding_disjoint_exhaustive(self):
+        idx = np.arange(101)
+        shards = [shard_for_host(idx, i, 4) for i in range(4)]
+        union = np.concatenate(shards)
+        assert len(union) == 101
+        assert len(np.unique(union)) == 101
+
+    def test_multihost_loaders_disjoint(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=16,
+                               rng=np.random.default_rng(0))
+        seen = []
+        for p in range(2):
+            dl = DataLoader(ds, batch_size=2, shuffle=True, seed=5,
+                            process_index=p, process_count=2)
+            for pts, cls, seg in dl:
+                seen.append((p, pts.sum()))
+        sums = [s for _, s in seen]
+        assert len(set(np.round(sums, 3))) == len(sums)
+
+    def test_epoch_reshuffle(self, shapenet_root):
+        ds = PartNormalDataset(shapenet_root, npoints=16,
+                               rng=np.random.default_rng(0))
+        dl = DataLoader(ds, batch_size=4, shuffle=True, seed=1)
+        b1 = next(iter(dl))[0]
+        b2 = next(iter(dl))[0]
+        assert not np.allclose(b1, b2)
