@@ -105,10 +105,16 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array,
     arange = jnp.arange(N, dtype=jnp.int32)
     # key: in-radius points keep their index, others become N (sorted last)
     keys = jnp.where(sqrdists <= radius ** 2, arange[None, None, :], N)
-    # smallest `nsample` keys == reference's sort()[:nsample]
-    neg_topk, _ = jax.lax.top_k(-keys, nsample)
+    # smallest `nsample` keys == reference's sort()[:nsample]; when the
+    # cloud has fewer than nsample points, pad with the first hit (the
+    # reference's empty-slot rule extends naturally)
+    k = min(nsample, N)
+    neg_topk, _ = jax.lax.top_k(-keys, k)
     group_idx = -neg_topk
     first = group_idx[..., :1]
+    if k < nsample:
+        pad = jnp.broadcast_to(first, group_idx.shape[:-1] + (nsample - k,))
+        group_idx = jnp.concatenate([group_idx, pad], axis=-1)
     group_idx = jnp.where(group_idx == N, first, group_idx)
     # degenerate guard: a center with zero in-radius points (cannot happen
     # when centers come from FPS over the same cloud) falls back to index 0

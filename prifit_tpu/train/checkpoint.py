@@ -1,0 +1,88 @@
+"""Checkpointing with orbax (reference ``torch.save`` artifacts).
+
+The reference saves ``{epoch, train_acc | losses, model_state_dict,
+optimizer_state_dict}`` every epoch (``train_partseg_shapenet.py:467-475``)
+and auto-resumes from ``checkpoints/best_model.pth`` (``:263-274``).  Same
+artifact contents here, as an orbax pytree checkpoint per epoch plus a
+``best_model`` alias directory.
+"""
+
+import os
+import os.path as osp
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(directory: str, name: str, *, epoch: int, state,
+                    extra: dict | None = None) -> str:
+    """Save a train state under ``directory/name``.
+
+    Mirrors the reference artifact: epoch + metrics + model state +
+    optimizer state.
+    """
+    path = osp.abspath(osp.join(directory, name))
+    payload = {
+        "epoch": np.asarray(epoch),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "selfsup_state": jax.device_get(state.selfsup_state),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+    }
+    if extra:
+        payload["extra"] = {k: np.asarray(v) for k, v in extra.items()}
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(directory: str, name: str, state) -> tuple[Any, int]:
+    """Restore into an existing state skeleton; returns (state, epoch).
+
+    Raises FileNotFoundError if the checkpoint doesn't exist (callers
+    mirror the reference's try/except resume, ``train:263-274``).
+    """
+    restored = _raw_restore(directory, name)
+    # opt_state holds registered pytree nodes (optax states); rebuild it
+    # from the stored leaves using the live structure as the template
+    opt_leaves = jax.tree_util.tree_leaves(restored["opt_state"])
+    opt_state = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(state.opt_state), opt_leaves)
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        selfsup_state=restored["selfsup_state"],
+        opt_state=opt_state,
+        step=restored["step"],
+    )
+    return new_state, int(restored["epoch"])
+
+
+def _raw_restore(directory: str, name: str):
+    path = osp.abspath(osp.join(directory, name))
+    if not osp.exists(path):
+        raise FileNotFoundError(path)
+    return _checkpointer().restore(path)
+
+
+def restore_params_only(directory: str, name: str, state):
+    """Warm-start model weights from a pretrained checkpoint
+    (``--pretrained_model``, reference ``train:276-280``): parameters and
+    batch stats only, fresh optimizer."""
+    restored = _raw_restore(directory, name)
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"])
+
+
+def latest_checkpoint(directory: str, prefix: str = "model_") -> str | None:
+    """Name of the newest epoch checkpoint in a directory, or None."""
+    if not osp.isdir(directory):
+        return None
+    names = [n for n in os.listdir(directory) if n.startswith(prefix)]
+    return max(names) if names else None

@@ -1,0 +1,273 @@
+"""Training infrastructure tests: schedules, optimizer semantics, steps,
+checkpointing, mesh sharding, eval harness, end-to-end CLI smoke."""
+
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prifit_tpu.eval.miou import (
+    category_masked_argmax,
+    evaluation,
+    mean_iou_one_sample,
+)
+from prifit_tpu.models import get_module, to_categorical
+from prifit_tpu.parallel import make_mesh, shard_batch
+from prifit_tpu.train.checkpoint import (
+    restore_checkpoint,
+    restore_params_only,
+    save_checkpoint,
+)
+from prifit_tpu.train.schedules import (
+    bn_momentum_schedule,
+    lambda_schedule,
+    lr_schedule,
+)
+from prifit_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    selfsup_init_kwargs,
+)
+from prifit_tpu.train.steps import make_selfsup_step, make_supervised_step
+from tests.fixtures import make_acd_fixture, make_shapenet_fixture
+
+B, N, PARTS = 2, 128, 50
+
+
+class TestSchedules:
+    def test_lr_schedule(self):
+        assert lr_schedule(0, 0.001) == 0.001
+        assert lr_schedule(20, 0.001) == 0.0005
+        assert lr_schedule(1000, 0.001) == 1e-5  # clipped
+
+    def test_bn_momentum(self):
+        assert bn_momentum_schedule(0) == 0.1
+        assert bn_momentum_schedule(20) == 0.05
+        assert bn_momentum_schedule(200) == 0.01  # floor
+
+    def test_lambda(self):
+        assert lambda_schedule(7, 10.0) == 10.0
+        assert lambda_schedule(7, 10.0, True, 0.5, 5) == 5.0
+
+
+class TestOptimizers:
+    def test_adam_l2_matches_torch_semantics(self):
+        """torch Adam(weight_decay) adds wd*p to the grad BEFORE moments."""
+        import torch
+
+        p0 = np.array([1.0, -2.0, 3.0], np.float32)
+        g0 = np.array([0.1, 0.2, -0.3], np.float32)
+        wd, lr = 1e-2, 0.01
+
+        tp = torch.nn.Parameter(torch.tensor(p0))
+        opt = torch.optim.Adam([tp], lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                               weight_decay=wd)
+        for _ in range(3):
+            opt.zero_grad()
+            tp.grad = torch.tensor(g0)
+            opt.step()
+        want = tp.detach().numpy()
+
+        tx = make_optimizer("Adam", wd)
+        params = jnp.asarray(p0)
+        opt_state = tx.init(params)
+        for _ in range(3):
+            updates, opt_state = tx.update(jnp.asarray(g0), opt_state,
+                                           params)
+            params = params + jax.tree_util.tree_map(
+                lambda u: -lr * u, updates)
+        np.testing.assert_allclose(np.asarray(params), want, rtol=1e-5)
+
+    def test_sgd_momentum_matches_torch(self):
+        import torch
+
+        p0 = np.array([1.0, -2.0], np.float32)
+        g0 = np.array([0.5, 0.1], np.float32)
+        lr = 0.1
+        tp = torch.nn.Parameter(torch.tensor(p0))
+        opt = torch.optim.SGD([tp], lr=lr, momentum=0.9)
+        for _ in range(3):
+            opt.zero_grad()
+            tp.grad = torch.tensor(g0)
+            opt.step()
+        want = tp.detach().numpy()
+
+        tx = make_optimizer("SGD")
+        params = jnp.asarray(p0)
+        opt_state = tx.init(params)
+        for _ in range(3):
+            updates, opt_state = tx.update(jnp.asarray(g0), opt_state,
+                                           params)
+            params = params + jax.tree_util.tree_map(
+                lambda u: -lr * u, updates)
+        np.testing.assert_allclose(np.asarray(params), want, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ssg_setup():
+    mod = get_module("pointnet2_part_seg_ssg")
+    model = mod.get_model(num_classes=PARTS)
+    pts = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, N, 3)), jnp.float32)
+    cls = to_categorical(jnp.zeros((B, 1), jnp.int32))
+    state = create_train_state(model, (pts, cls), dict(train=True))
+    return mod, model, pts, cls, state
+
+
+class TestSteps:
+    def test_supervised_step_reduces_loss(self, ssg_setup):
+        mod, model, pts, cls, state = ssg_setup
+        step = make_supervised_step(model, mod.get_loss)
+        target = jnp.zeros((B, N), jnp.int32)
+        losses = []
+        for i in range(8):
+            state, m = step(state, pts, cls, target, 0.005, 0.1,
+                            jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.all(np.isfinite(losses))
+
+    def test_selfsup_step_runs(self):
+        mod = get_module("pointnet2_part_seg_msg")
+        model = mod.get_model(num_parts=PARTS)
+        pts = jnp.asarray(
+            np.random.default_rng(1).normal(size=(B, N, 3)), jnp.float32)
+        cls = jnp.zeros((B, 16))
+        state = create_train_state(model, (pts, cls),
+                                   selfsup_init_kwargs(pts))
+        step = make_selfsup_step(
+            model, include_convex_loss=True, quantile=0.05,
+            msc_iterations=2, max_num_clusters=4, n_per_prim=16)
+        state, m = step(state, pts, pts, cls, 0.001, 0.1, 1.0,
+                        jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["ss_loss"]))
+        # beta decayed through the step
+        np.testing.assert_allclose(
+            float(state.selfsup_state["beta"]), 0.99, atol=1e-6)
+
+    def test_sharded_step_matches_single_device(self, ssg_setup):
+        """The mesh-sharded supervised step computes the same loss."""
+        mod, model, pts, cls, state = ssg_setup
+        step = make_supervised_step(model, mod.get_loss)
+        target = jnp.zeros((B, N), jnp.int32)
+        key = jax.random.PRNGKey(9)
+
+        _, m_single = step(state, pts, cls, target, 0.005, 0.1, key)
+
+        mesh = make_mesh(jax.devices()[:2])
+        batch = shard_batch(mesh, (pts, cls, target))
+        _, m_shard = step(state, *batch, 0.005, 0.1, key)
+        np.testing.assert_allclose(float(m_single["loss"]),
+                                   float(m_shard["loss"]), rtol=1e-4)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, ssg_setup, tmp_path):
+        _, _, _, _, state = ssg_setup
+        save_checkpoint(str(tmp_path), "model_001", epoch=7, state=state,
+                        extra={"train_acc": 0.5})
+        zeroed = state.replace(params=jax.tree_util.tree_map(
+            jnp.zeros_like, state.params))
+        restored, epoch = restore_checkpoint(str(tmp_path), "model_001",
+                                             zeroed)
+        assert epoch == 7
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    def test_params_only_keeps_opt_state(self, ssg_setup, tmp_path):
+        _, _, _, _, state = ssg_setup
+        save_checkpoint(str(tmp_path), "pre", epoch=0, state=state)
+        zeroed = state.replace(params=jax.tree_util.tree_map(
+            jnp.zeros_like, state.params))
+        warm = restore_params_only(str(tmp_path), "pre", zeroed)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(warm.params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    def test_missing_raises(self, ssg_setup, tmp_path):
+        _, _, _, _, state = ssg_setup
+        with pytest.raises(FileNotFoundError):
+            restore_checkpoint(str(tmp_path), "nope", state)
+
+
+class TestEval:
+    def test_masked_argmax_stays_in_category(self):
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(4, 32, 50)), jnp.float32)
+        # shapes from Airplane (parts 0-3) and Chair (parts 12-15)
+        first = jnp.asarray([0, 3, 12, 15], jnp.int32)
+        pred = np.asarray(category_masked_argmax(logits, first))
+        assert pred[:2].min() >= 0 and pred[:2].max() <= 3
+        assert pred[2:].min() >= 12 and pred[2:].max() <= 15
+
+    def test_absent_part_iou_one(self):
+        # Laptop has parts [28, 29]; only 28 present and predicted
+        pred = np.full(50, 28)
+        target = np.full(50, 28)
+        assert mean_iou_one_sample(pred, target, "Laptop") == 1.0
+
+    def test_iou_half(self):
+        pred = np.array([28] * 50 + [29] * 50)
+        target = np.array([28] * 100)
+        # part 28: inter 50 / union 100 = .5; part 29: inter 0/union 50 = 0
+        assert mean_iou_one_sample(pred, target, "Laptop") == 0.25
+
+    def test_perfect_prediction_metrics(self):
+        # synthetic loader: logits peaked at the target labels
+        def loader():
+            rng = np.random.default_rng(0)
+            for _ in range(2):
+                target = rng.integers(0, 4, (2, 16)).astype(np.int64)
+                yield (rng.normal(size=(2, 16, 3)).astype(np.float32),
+                       np.zeros((2, 1), np.int64), target)
+
+        def forward(points, cls):
+            # can't see target; use a closure trick instead
+            raise NotImplementedError
+
+        # direct metric check instead: feed identity logits
+        batches = list(loader())
+
+        def forward2(points, cls, _state={"i": 0}):
+            target = batches[_state["i"]][2]
+            _state["i"] += 1
+            eye = np.eye(50, dtype=np.float32) * 10
+            return jnp.asarray(eye[target])
+
+        m = evaluation(forward2, iter(batches), log=lambda *_: None)
+        assert m["accuracy"] == 1.0
+        assert m["instance_avg_iou"] == 1.0
+
+
+class TestEndToEndCLI:
+    def test_tiny_training_run(self, tmp_path):
+        """Full trainer on fixtures: supervised + selfsup, 1 epoch."""
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.train_partseg import main
+
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=6,
+                                   n_points=64)
+        acd = make_acd_fixture(str(tmp_path / "acd"), n_shapes=6,
+                               n_points=96)
+        args = parse_args([
+            "--model", "pointnet2_part_seg_msg", "--epoch", "1",
+            "--batch_size", "2", "--npoint", "48", "--k_shot", "2",
+            "--selfsup", "--ss_dataset", "acd", "--ss_path", acd,
+            "--data_root", sn, "--quantile", "0.05",
+            "--msc_iterations", "2", "--max_num_clusters", "4",
+            "--n_per_prim", "16", "--chamfer_npoints", "96",
+            "--experiment_root", str(tmp_path / "log"),
+            "--learning_rate", "0.005"])
+        metrics = main(args)
+        assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
+        assert osp.isdir(str(tmp_path / "log"))
+
+    def test_fitting_demo(self):
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.fitting import main
+
+        main(parse_args(["--batch_size", "1", "--quantile", "0.05",
+                         "--msc_iterations", "3", "--n_per_prim", "32"]))
