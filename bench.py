@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: clouds/sec/chip for the PRIFIT hot path.
+
+Measures the flagship pipeline at the canonical recipe's shapes
+(batch 24, 2048 points: PointNet++ MSG forward + mean-shift clustering
+(10 iterations, <=25 clusters) + weighted ellipsoid fitting + primitive
+sampling + SDF/NN chamfer) on the default JAX device, all inside one jit.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "clouds/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the ratio against the measured torch-CPU double of the
+reference pipeline (``tools/reference_baseline_torch.py``; the reference
+publishes no numbers and its code is hard-wired to CUDA + open3d, so CPU
+torch is the only hardware it can be measured on here — see BASELINE.md).
+The cached measurement lives in BASELINE_MEASURED.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 24))
+NPOINT = int(os.environ.get("BENCH_NPOINT", 2048))
+REPS = int(os.environ.get("BENCH_REPS", 10))
+SYNC_OVERHEAD_S = 0.027  # axon tunnel round-trip (see .claude verify notes)
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from prifit_tpu.models import get_module
+    from prifit_tpu.train.state import create_train_state
+
+    mod = get_module("pointnet2_part_seg_msg")
+    model = mod.get_model(num_parts=50)
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(rng.normal(size=(BATCH, NPOINT, 3)), jnp.float32)
+    cls = jnp.zeros((BATCH, 16), jnp.float32)
+
+    kwargs = dict(include_convex_loss=True, quantile=0.05,
+                  msc_iterations=10, max_num_clusters=25, n_per_prim=256)
+    state = create_train_state(
+        model, (points, cls),
+        dict(train=True, chamfer_points=points, include_convex_loss=True,
+             quantile=0.5, msc_iterations=1, max_num_clusters=2,
+             n_per_prim=4))
+    variables = state.variables()
+
+    @jax.jit
+    def many(points, cls, key):
+        def body(acc, k):
+            out, _ = model.apply(
+                variables, points, cls, chamfer_points=points,
+                train=False, mutable=["selfsup_state"], **kwargs)
+            return acc + out.total_loss, None
+
+        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, REPS))
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    v = float(np.asarray(many(points, cls, key)))
+    compile_s = time.time() - t0
+    assert np.isfinite(v), "non-finite benchmark loss"
+
+    t0 = time.time()
+    v = float(np.asarray(many(points, cls, key)))
+    dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
+    return BATCH / dt, compile_s
+
+
+def load_baseline() -> float | None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["clouds_per_sec"]
+    return None
+
+
+def main():
+    clouds_per_sec, compile_s = measure_tpu()
+    baseline = load_baseline()
+    vs = clouds_per_sec / baseline if baseline else 0.0
+    print(json.dumps({
+        "metric": "prifit fwd+fit clouds/sec/chip "
+                  f"(B={BATCH}, N={NPOINT}, msc=10, K=25) "
+                  "[baseline: reference pipeline double on cpu-torch]",
+        "value": round(clouds_per_sec, 3),
+        "unit": "clouds/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
