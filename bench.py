@@ -51,24 +51,27 @@ def measure_tpu() -> float:
     variables = state.variables()
 
     @jax.jit
-    def many(points, cls, key):
-        def body(acc, k):
+    def many(points, cls):
+        # each rep perturbs the input with the previous rep's loss so the
+        # loop body is NOT loop-invariant (XLA would hoist it otherwise)
+        def body(carry, _):
+            pts, acc = carry
             out, _ = model.apply(
-                variables, points, cls, chamfer_points=points,
+                variables, pts, cls, chamfer_points=pts,
                 train=False, mutable=["selfsup_state"], **kwargs)
-            return acc + out.total_loss, None
+            loss = out.total_loss
+            return (points + 1e-6 * loss, acc + loss), None
 
-        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, REPS))
+        (_, acc), _ = jax.lax.scan(body, (points, 0.0), None, length=REPS)
         return acc
 
-    key = jax.random.PRNGKey(0)
     t0 = time.time()
-    v = float(np.asarray(many(points, cls, key)))
+    v = float(np.asarray(many(points, cls)))
     compile_s = time.time() - t0
     assert np.isfinite(v), "non-finite benchmark loss"
 
     t0 = time.time()
-    v = float(np.asarray(many(points, cls, key)))
+    v = float(np.asarray(many(points, cls)))
     dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
     return BATCH / dt, compile_s
 

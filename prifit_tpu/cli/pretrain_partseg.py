@@ -82,9 +82,29 @@ def main(args):
         ss_val, args.batch_size, shuffle=False,
         chamfer_npoints=args.chamfer_npoints)
 
+    modelnet_loaders = None
     if args.modelnet_val:
-        log("WARNING: --modelnet_val needs the ModelNet40 fixtures the "
-            "reference never shipped (SURVEY §2.9.3); skipping the probe.")
+        # the reference's probe imports modules it never shipped (SURVEY
+        # §2.9.3); this is the working rebuild: linear SVM on frozen
+        # encoder features over ModelNet40
+        mn_root = osp.join(osp.dirname(args.ss_path),
+                           "modelnet40_normal_resampled")
+        if osp.isdir(mn_root):
+            from prifit_tpu.data import ModelNetDataLoader
+
+            mn_train = ModelNetDataLoader(
+                mn_root, npoint=args.npoint, split="train",
+                normal_channel=args.normal,
+                rng=np.random.default_rng(args.seed))
+            mn_test = ModelNetDataLoader(
+                mn_root, npoint=args.npoint, split="test",
+                normal_channel=args.normal,
+                rng=np.random.default_rng(args.seed))
+            modelnet_loaders = (
+                DataLoader(mn_train, args.batch_size, drop_last=False),
+                DataLoader(mn_test, args.batch_size, drop_last=False))
+        else:
+            log(f"--modelnet_val: no dataset at {mn_root}; skipping probe")
 
     mod = get_module(args.model)
     model = build_model(args, mod)
@@ -171,9 +191,26 @@ def main(args):
                             extra={"train_loss": train_loss,
                                    "val_loss": val_loss})
             log(f"New best val loss {val_loss:.5f}; saved best_model")
+        epoch_metrics = {"epoch": epoch, "train_loss": train_loss,
+                         "val_loss": val_loss, "lr": lr}
+
+        if modelnet_loaders is not None:
+            from prifit_tpu.eval.svm_probe import (
+                make_feature_forward,
+                svm_probe,
+            )
+
+            t0 = time.time()
+            probe = svm_probe(
+                make_feature_forward(model, state.variables()),
+                *modelnet_loaders, svm_c=args.svm_c,
+                cross_val=args.cross_val_svm)
+            log(f"ModelNet40 SVM probe: acc {probe['accuracy']:.4f} "
+                f"(C={probe['C']}, {time.time() - t0:.1f}s)")
+            epoch_metrics["modelnet_svm_acc"] = probe["accuracy"]
+
         with open(metrics_path, "a") as f:
-            f.write(json.dumps({"epoch": epoch, "train_loss": train_loss,
-                                "val_loss": val_loss, "lr": lr}) + "\n")
+            f.write(json.dumps(epoch_metrics) + "\n")
     return best_val
 
 

@@ -7,6 +7,8 @@ from prifit_tpu.data.shapenet import (
     MultiACDSelfSupDataset,
 )
 from prifit_tpu.data.loader import DataLoader, shard_for_host
+from prifit_tpu.data.modelnet import ModelNetDataLoader
+from prifit_tpu.data.augment import Augment
 from prifit_tpu.data import provider
 
 __all__ = [
@@ -18,5 +20,7 @@ __all__ = [
     "MultiACDSelfSupDataset",
     "DataLoader",
     "shard_for_host",
+    "ModelNetDataLoader",
+    "Augment",
     "provider",
 ]

@@ -23,6 +23,16 @@ from prifit_tpu.geometry.losses import (
 )
 from prifit_tpu.geometry.synthetic import SyntheticScene, create_synthetic_dataset
 from prifit_tpu.geometry.convex_loss import ConvexLossOutput, convex_loss
+from prifit_tpu.geometry.transforms import (
+    pca,
+    rotation_matrix_a_to_b,
+    standardize_point,
+    standardize_points,
+    reverse_all_transformation,
+    reverse_all_transformations,
+    project_to_plane,
+    project_to_point_cloud,
+)
 
 __all__ = [
     "sdf_ellipsoid",
@@ -44,4 +54,12 @@ __all__ = [
     "create_synthetic_dataset",
     "ConvexLossOutput",
     "convex_loss",
+    "pca",
+    "rotation_matrix_a_to_b",
+    "standardize_point",
+    "standardize_points",
+    "reverse_all_transformation",
+    "reverse_all_transformations",
+    "project_to_plane",
+    "project_to_point_cloud",
 ]

@@ -17,6 +17,7 @@ from prifit_tpu.ops.chamfer import (
     chamfer_distance_one_side,
     nn_squared_distance,
 )
+from prifit_tpu.ops.lstsq import best_lambda, lstsq
 
 __all__ = [
     "square_distance",
@@ -32,4 +33,6 @@ __all__ = [
     "chamfer_distance",
     "chamfer_distance_one_side",
     "nn_squared_distance",
+    "best_lambda",
+    "lstsq",
 ]

@@ -61,6 +61,37 @@ def make_shapenet_fixture(root, n_per_cat=6, n_points=64,
     return root
 
 
+def make_modelnet_fixture(root, n_classes=4, n_per_class=6, n_points=128,
+                          seed=0):
+    """Build a minimal ``modelnet40_normal_resampled`` tree under root."""
+    rng = np.random.default_rng(seed)
+    classes = [f"class{i:02d}" for i in range(n_classes)]
+    os.makedirs(root, exist_ok=True)
+    with open(osp.join(root, "modelnet40_shape_names.txt"), "w") as f:
+        f.write("\n".join(classes) + "\n")
+    splits = {"train": [], "test": []}
+    for ci, name in enumerate(classes):
+        d = osp.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_class):
+            sid = f"{name}_{i:04d}"
+            # class-dependent anisotropy (survives unit-sphere
+            # normalization) so a probe can actually separate
+            scale = np.array([1.0, 0.6 ** ci, 0.3 ** ci])
+            pts = rng.normal(size=(n_points, 3)) * scale
+            nrm = rng.normal(size=(n_points, 3))
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            data = np.concatenate([pts, nrm], axis=1).astype(np.float32)
+            np.savetxt(osp.join(d, sid + ".txt"), data, delimiter=",",
+                       fmt="%.6f")
+            splits["train" if i < 2 * n_per_class // 3 else "test"].append(
+                sid)
+    for split, ids in splits.items():
+        with open(osp.join(root, f"modelnet40_{split}.txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return root
+
+
 def make_acd_fixture(root, n_shapes=8, n_points=200, n_components=4,
                      subfolder="shapes", seed=0):
     """Build a minimal ACD ``.npy`` directory under ``root``.

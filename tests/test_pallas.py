@@ -1,0 +1,60 @@
+"""Pallas kernel tests (interpreter mode on CPU; bit-parity vs jnp refs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prifit_tpu.ops.pallas.fps import farthest_point_sample_pallas
+from prifit_tpu.ops.pallas.mean_shift import (
+    _ref_step,
+    mean_shift_step_pallas,
+    supports_pallas,
+)
+from prifit_tpu.ops.sampling import farthest_point_sample
+
+
+class TestPallasFPS:
+    def test_matches_scan_version(self, rng):
+        pts = jnp.asarray(rng.normal(size=(3, 256, 3)), jnp.float32)
+        ref = farthest_point_sample(pts, 32, deterministic=True)
+        pal = farthest_point_sample_pallas(pts, 32, deterministic=True,
+                                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+    def test_random_start_matches(self, rng):
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)), jnp.float32)
+        key = jax.random.PRNGKey(7)
+        ref = farthest_point_sample(pts, 16, key=key)
+        pal = farthest_point_sample_pallas(pts, 16, key=key,
+                                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+
+class TestPallasMeanShift:
+    def test_matches_reference_step(self, rng):
+        N, D = 256, 128
+        X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+        X = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
+        bw2 = jnp.float32(0.3)
+        ref = _ref_step(X, X, bw2)
+        pal = mean_shift_step_pallas(X, X, bw2, True)
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_gradient_matches_reference(self, rng):
+        N, D = 256, 128
+        X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+        X = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
+        bw2 = jnp.float32(0.3)
+
+        g_pal = jax.grad(lambda x: jnp.sum(
+            mean_shift_step_pallas(x, x, bw2, True) ** 2))(X)
+        g_ref = jax.grad(lambda x: jnp.sum(
+            _ref_step(x, x, bw2) ** 2))(X)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   atol=1e-4)
+
+    def test_supports_gate(self):
+        assert supports_pallas(2048, 128)
+        assert not supports_pallas(100, 128)
+        assert not supports_pallas(2048, 96)
