@@ -131,6 +131,47 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array,
     return group_idx.astype(jnp.int32)
 
 
+def ball_query_nearest_shared(radius_list, nsample_list, xyz: jax.Array,
+                              new_xyz: jax.Array):
+    """K-nearest-within-radius queries for several radii, sharing one
+    distance matrix and one top_k.
+
+    TPU-first variant of repeated :func:`query_ball_point` calls: the
+    multi-scale grouping layer issues one ball query per radius over the
+    same (query, source) pair; ``top_k`` over the lane axis dominates the
+    cost.  Here ONE ``top_k`` of the max K over *distance* serves every
+    radius — smaller radii take a prefix of the same sorted neighbors,
+    masked by their radius.
+
+    Selection semantics: the reference keeps the first ``nsample``
+    in-radius points by ascending INDEX (``pointnet_util.py:87-107``, an
+    arbitrary tie-break inherited from the CUDA kernel); this takes the
+    ``nsample`` NEAREST in-radius points, padding empty slots with the
+    nearest point overall (== the query center when querying FPS centers,
+    matching the reference's pad-with-first-hit).  Use
+    :func:`query_ball_point` where strict index-order parity matters.
+
+    Returns:
+        list of ``[B, S, nsample_i]`` int32 index arrays.
+    """
+    d = square_distance(new_xyz, xyz, precision=jax.lax.Precision.HIGHEST)
+    k_max = min(max(nsample_list), xyz.shape[1])
+    neg, idx = jax.lax.top_k(-d, k_max)
+    dists = -neg
+    out = []
+    for r, k in zip(radius_list, nsample_list):
+        kk = min(k, k_max)
+        idx_k = idx[..., :kk]
+        in_r = dists[..., :kk] <= r * r
+        first = idx_k[..., :1]
+        sel = jnp.where(in_r, idx_k, first)
+        if kk < k:
+            pad = jnp.broadcast_to(first, sel.shape[:-1] + (k - kk,))
+            sel = jnp.concatenate([sel, pad], axis=-1)
+        out.append(sel.astype(jnp.int32))
+    return out
+
+
 def sample_and_group(npoint: int, radius: float, nsample: int,
                      xyz: jax.Array, points: jax.Array | None,
                      key: jax.Array | None = None,
