@@ -15,6 +15,8 @@ import os.path as osp
 
 import numpy as np
 
+from prifit_tpu.native import fast_loadtxt
+
 from prifit_tpu.data.shapenet import pc_normalize
 
 
@@ -50,7 +52,7 @@ class ModelNetDataLoader:
         else:
             cat, fn = self.datapath[index]
             cls = np.array([self.classes[cat]], dtype=np.int32)
-            point_set = np.loadtxt(fn, delimiter=",").astype(np.float32)
+            point_set = fast_loadtxt(fn).astype(np.float32)
             self.cache[index] = (point_set, cls)
         if self.uniform:
             # deterministic FPS is overkill for a probe; stride-sample

@@ -28,6 +28,8 @@ import os.path as osp
 
 import numpy as np
 
+from prifit_tpu.native import fast_loadtxt
+
 # category -> global part label ids (ShapeNetDataLoader.py:100-105)
 SEG_CLASSES = {
     "Earphone": [16, 17, 18], "Motorbike": [30, 31, 32, 33, 34, 35],
@@ -120,7 +122,7 @@ class PartNormalDataset:
             return self.cache[index]
         cat, fn = self.datapath[index]
         cls = np.array([self.classes[cat]], dtype=np.int32)
-        data = np.loadtxt(fn).astype(np.float32)
+        data = fast_loadtxt(fn).astype(np.float32)
         point_set = data[:, 0:6] if self.normal_channel else data[:, 0:3]
         seg = data[:, -1].astype(np.int32)
         if len(self.cache) < self.cache_size:
