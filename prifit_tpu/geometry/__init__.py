@@ -19,6 +19,11 @@ from prifit_tpu.geometry.losses import (
     entropy_loss,
     analytic_chamfer,
     intersection_loss,
+    intersection_loss_surface,
+    intersection_loss_volume,
+    intersection_loss_v2,
+    intersection_loss_v4,
+    sample_axis,
     prune_mask,
 )
 from prifit_tpu.geometry.synthetic import SyntheticScene, create_synthetic_dataset
@@ -49,6 +54,11 @@ __all__ = [
     "entropy_loss",
     "analytic_chamfer",
     "intersection_loss",
+    "intersection_loss_surface",
+    "intersection_loss_volume",
+    "intersection_loss_v2",
+    "intersection_loss_v4",
+    "sample_axis",
     "prune_mask",
     "SyntheticScene",
     "create_synthetic_dataset",

@@ -108,6 +108,119 @@ def intersection_loss(params: PrimitiveParams, points: jax.Array,
     return jnp.sum(losses) / n
 
 
+def sample_axis(r: jax.Array, V: jax.Array, center: jax.Array,
+                num_samples: int = 40) -> tuple[jax.Array, jax.Array]:
+    """Points along the principal axes of one primitive, more along
+    longer axes (reference ``sample_axis``, convex_loss.py:285-311).
+
+    The reference's data-dependent per-axis counts become a fixed
+    ``num_samples`` per axis with axis-length weights — same estimator
+    under the (axis-proportional) weighting used downstream.
+
+    Returns:
+        points ``[3 * num_samples, 3]``, weights ``[3 * num_samples]``.
+    """
+    scaled_axes = V * r[None, :]                 # columns scaled
+    ratios = jnp.linspace(-0.9, 0.897, num_samples)
+    pts = (ratios[None, :, None]
+           * jnp.swapaxes(scaled_axes, 0, 1)[:, None, :])   # [3, S, 3]
+    pts = pts.reshape(-1, 3) + center[None, :]
+    w = jnp.repeat(jax.lax.stop_gradient(r) / jnp.maximum(
+        jnp.sum(jax.lax.stop_gradient(r)), 1e-12), num_samples)
+    return pts, w
+
+
+def intersection_loss_surface(params: PrimitiveParams, samples: jax.Array,
+                              sample_w: jax.Array, cuboid: bool = False,
+                              clamp: float = -1e-3) -> jax.Array:
+    """Surface-sample intersection penalty (``convex_loss.py:106-206``
+    ellipsoid/cuboid variants): squared mean of the min-SDF over all
+    primitives at the primitive surface samples, clamped from above."""
+    def one(p, s, w):
+        sdf = sdf_primitives(s, p.r, p.V, p.center, cuboid)
+        sdf = jnp.where(p.valid[None, :], sdf, jnp.inf)
+        m = jnp.minimum(jnp.min(sdf, axis=1), clamp)
+        w_sum = jnp.maximum(jnp.sum(w), 1e-12)
+        has = jnp.any(p.valid)
+        return jnp.where(has, jnp.sum(m * w) / w_sum, 0.0) ** 2, has
+
+    losses, has = jax.vmap(one)(params, samples, sample_w)
+    n = jnp.maximum(jnp.sum(has), 1)
+    return jnp.sum(losses) / n
+
+
+def intersection_loss_volume(params: PrimitiveParams,
+                             num_axis_samples: int = 40,
+                             clamp: float = -1e-3) -> jax.Array:
+    """Axis-sample volume intersection v1 (``convex_loss.py:227-282``):
+    for each primitive, sample its principal axes and penalize the
+    clamped min-SDF w.r.t. every OTHER primitive."""
+    def one(p):
+        K = p.r.shape[0]
+        pts, w = jax.vmap(sample_axis, in_axes=(0, 0, 0, None))(
+            p.r, p.V, p.center, num_axis_samples)      # [K, S, 3], [K, S]
+        w = w * p.valid[:, None]
+
+        def sdf_excl(i):
+            sdf = sdf_primitives(pts[i], p.r, p.V, p.center)   # [S, K]
+            mask = p.valid & (jnp.arange(K) != i)
+            sdf = jnp.where(mask[None, :], sdf, jnp.inf)
+            m = jnp.minimum(jnp.min(sdf, axis=1), clamp)
+            w_sum = jnp.maximum(jnp.sum(w[i]), 1e-12)
+            ok = jnp.any(mask)
+            return jnp.where(ok, jnp.sum(m * w[i]) / w_sum, 0.0)
+
+        sdfs = jax.vmap(sdf_excl)(jnp.arange(K))       # [K]
+        cnt = jnp.maximum(jnp.sum(p.valid), 1)
+        loss = jnp.sum((sdfs * p.valid) ** 2) / cnt
+        multi = jnp.sum(p.valid) > 1
+        return jnp.where(multi, loss, 0.0), multi
+
+    losses, multi = jax.vmap(one)(params)
+    n = jnp.maximum(jnp.sum(multi), 1)
+    return jnp.sum(losses) / n
+
+
+def intersection_loss_v2(params: PrimitiveParams, points: jax.Array,
+                         cuboid: bool = False,
+                         clamp: float = -1e-3) -> jax.Array:
+    """Volume intersection v2 (``convex_loss.py:346-371``): clamped SDFs
+    minus the (detached) per-point min, squared."""
+    def one(p, pts):
+        sdf = sdf_primitives(pts, p.r, p.V, p.center, cuboid)
+        sdf = jnp.minimum(sdf, clamp)
+        masked = jnp.where(p.valid[None, :], sdf, jnp.inf)
+        mn = jax.lax.stop_gradient(jnp.min(masked, axis=1, keepdims=True))
+        diff = jnp.where(p.valid[None, :], sdf - mn, 0.0)
+        cnt = jnp.maximum(jnp.sum(p.valid), 1)
+        loss = jnp.sum(diff ** 2) / (pts.shape[0] * cnt)
+        multi = jnp.sum(p.valid) > 1
+        return jnp.where(multi, loss, 0.0), multi
+
+    losses, multi = jax.vmap(one)(params, points)
+    n = jnp.maximum(jnp.sum(multi), 1)
+    return jnp.sum(losses) / n
+
+
+def intersection_loss_v4(params: PrimitiveParams, points: jax.Array,
+                         clamp: float = -1e-3) -> jax.Array:
+    """Volume intersection v4 (``convex_loss.py:416-441``): sum of squared
+    clamped SDFs minus the squared per-point min."""
+    def one(p, pts):
+        sdf = sdf_primitives(pts, p.r, p.V, p.center)
+        sdf = jnp.minimum(sdf, clamp)
+        sdf = jnp.where(p.valid[None, :], sdf, 0.0)
+        masked = jnp.where(p.valid[None, :], sdf, jnp.inf)
+        mn = jnp.min(masked, axis=1)          # most-negative (own) SDF
+        loss = jnp.mean(jnp.sum(sdf ** 2, axis=1) - mn ** 2)
+        multi = jnp.sum(p.valid) != 1         # reference skips K_b == 1
+        return jnp.where(multi, loss, 0.0), multi
+
+    losses, multi = jax.vmap(one)(params, points)
+    n = jnp.maximum(jnp.sum(multi), 1)
+    return jnp.sum(losses) / n
+
+
 def prune_mask(samples: jax.Array, params: PrimitiveParams,
                cuboid: bool = False, thres: float = -1e-3) -> jax.Array:
     """No-grad mask of samples on/near the union surface.

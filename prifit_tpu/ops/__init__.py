@@ -15,6 +15,8 @@ from prifit_tpu.ops.sampling import (
 from prifit_tpu.ops.chamfer import (
     chamfer_distance,
     chamfer_distance_one_side,
+    chamfer_distance_single_shape,
+    chamfer_distance_pairwise_batch,
     nn_squared_distance,
 )
 from prifit_tpu.ops.lstsq import best_lambda, lstsq
@@ -32,6 +34,8 @@ __all__ = [
     "three_nn_interpolate",
     "chamfer_distance",
     "chamfer_distance_one_side",
+    "chamfer_distance_single_shape",
+    "chamfer_distance_pairwise_batch",
     "nn_squared_distance",
     "best_lambda",
     "lstsq",

@@ -103,6 +103,45 @@ def chamfer_distance_one_side(pred: jax.Array, gt: jax.Array,
     return jnp.mean(jax.vmap(one)(pred, gt))
 
 
+def chamfer_distance_single_shape(pred: jax.Array, gt: jax.Array,
+                                  one_side: bool = False,
+                                  sqrt: bool = False,
+                                  reduce: bool = True) -> jax.Array:
+    """Single-shape chamfer (reference ``src/utils.py:324-358``).
+
+    Args:
+        pred: ``[N, 3]``; gt: ``[M, 3]``.
+        one_side: only gt -> pred direction (min over pred axis).
+    """
+    d_pg = _min_sqdist_chunked(pred, gt, None, _CHUNK)     # [N]
+    d_gp = _min_sqdist_chunked(gt, pred, None, _CHUNK)     # [M]
+    if sqrt:
+        from prifit_tpu.utils.guard import guard_sqrt
+        d_pg, d_gp = guard_sqrt(d_pg), guard_sqrt(d_gp)
+    if one_side:
+        return jnp.mean(d_gp) if reduce else d_gp
+    if reduce:
+        return (jnp.mean(d_pg) + jnp.mean(d_gp)) / 2.0
+    return (d_pg, d_gp)
+
+
+def chamfer_distance_pairwise_batch(source: jax.Array,
+                                    target: jax.Array,
+                                    sqrt: bool = False) -> jax.Array:
+    """Batched symmetric chamfer, mean over shapes — on-device equivalent
+    of the reference's sklearn-KDTree hybrid
+    (``chamfer_distance_kdtree``, ``src/utils.py:361-381``)."""
+    def one(s, t):
+        d_ts = _min_sqdist_chunked(t, s, None, _CHUNK)
+        d_st = _min_sqdist_chunked(s, t, None, _CHUNK)
+        if sqrt:
+            from prifit_tpu.utils.guard import guard_sqrt
+            d_ts, d_st = guard_sqrt(d_ts), guard_sqrt(d_st)
+        return (jnp.mean(d_ts) + jnp.mean(d_st)) / 2.0
+
+    return jnp.mean(jax.vmap(one)(source, target))
+
+
 def _masked_mean(x: jax.Array, mask: jax.Array | None) -> jax.Array:
     if mask is None:
         return jnp.mean(x)
