@@ -8,6 +8,7 @@ from prifit_tpu.data.shapenet import (
 )
 from prifit_tpu.data.loader import DataLoader, shard_for_host
 from prifit_tpu.data.modelnet import ModelNetDataLoader
+from prifit_tpu.data.s3dis import S3DISDataset, S3DIS_CLASSES
 from prifit_tpu.data.augment import Augment
 from prifit_tpu.data import provider
 
@@ -21,6 +22,8 @@ __all__ = [
     "DataLoader",
     "shard_for_host",
     "ModelNetDataLoader",
+    "S3DISDataset",
+    "S3DIS_CLASSES",
     "Augment",
     "provider",
 ]

@@ -111,3 +111,17 @@ def make_acd_fixture(root, n_shapes=8, n_points=200, n_components=4,
             [pts.astype(np.float32), comp[:, None].astype(np.float32)], 1)
         np.save(osp.join(d, f"acd{i:04d}.npy"), data)
     return root
+
+
+def make_s3dis_fixture(root, n_rooms=4, n_points=5000, seed=0):
+    """Build minimal S3DIS-format ``Area_<i>_<room>.npy`` files."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for i in range(n_rooms):
+        area = 5 if i == n_rooms - 1 else (i % 4) + 1
+        xyz = rng.uniform(0, 3, (n_points, 3))
+        rgb = rng.uniform(0, 255, (n_points, 3))
+        label = rng.integers(0, 13, (n_points, 1))
+        data = np.concatenate([xyz, rgb, label], 1).astype(np.float32)
+        np.save(osp.join(root, f"Area_{area}_room{i}.npy"), data)
+    return root

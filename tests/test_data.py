@@ -244,3 +244,35 @@ class TestDataLoader:
         b1 = next(iter(dl))[0]
         b2 = next(iter(dl))[0]
         assert not np.allclose(b1, b2)
+
+
+class TestS3DIS:
+    def test_loader_and_model(self, tmp_path_factory):
+        import jax
+        import jax.numpy as jnp
+        from prifit_tpu.data import S3DISDataset, S3DIS_CLASSES
+        from prifit_tpu.models import get_module
+        from tests.fixtures import make_s3dis_fixture
+
+        root = make_s3dis_fixture(str(tmp_path_factory.mktemp("s3dis")))
+        assert len(S3DIS_CLASSES) == 13
+        train = S3DISDataset(root, num_point=128, split="train",
+                             rng=np.random.default_rng(0))
+        test = S3DISDataset(root, num_point=128, split="test",
+                            rng=np.random.default_rng(0))
+        block, seg = train[0]
+        assert block.shape == (128, 6)
+        assert seg.shape == (128,) and seg.max() < 13
+        assert len(test) >= 1
+        # the reference's sem-seg models are now actually trainable
+        mod = get_module("pointnet2_sem_seg")
+        model = mod.get_model(num_classes=13)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        x = jnp.asarray(block[None])
+        v = model.init(rngs, x, train=True)
+        (logp, _), _ = model.apply(v, x, train=True, rngs=rngs,
+                                   mutable=["batch_stats"])
+        loss = mod.get_loss(logp, jnp.asarray(seg[None].astype(np.int32)))
+        assert np.isfinite(float(loss))
