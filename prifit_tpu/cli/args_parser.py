@@ -95,6 +95,9 @@ def parse_args(argv=None):
     add("--num_bandwidth_candidates", type=int, default=2,
         help="parallel quantile-doubling candidates (reference retry loop)")
     add("--experiment_root", type=str, default="log")
+    add("--fused_augment", action="store_true", default=False,
+        help="apply scale+shift augmentation on device inside the jitted "
+             "step (one XLA program per step, zero host augmentation)")
     add("--eval_every", type=int, default=0,
         help="run evaluation every K epochs (0 = only at the end)")
     args = parser.parse_args(argv)

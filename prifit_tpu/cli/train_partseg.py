@@ -247,11 +247,13 @@ def main(args):
     # ---------------------------------------------------------- steps
     mesh = make_data_mesh(args.batch_size)
     log(f"Data-parallel mesh over {mesh.size} device(s)")
-    sup_step = make_supervised_step(model, mod.get_loss)
+    sup_step = make_supervised_step(model, mod.get_loss,
+                                    fused_augment=args.fused_augment)
     ss_step = None
     if args.selfsup:
         ss_step = make_selfsup_step(
             model,
+            fused_augment=args.fused_augment,
             include_convex_loss=True,
             if_cuboid=args.if_cuboid,
             include_intersect_loss=args.include_intersect_loss,
@@ -287,7 +289,8 @@ def main(args):
             except StopIteration:
                 train_iter = iter(train_loader)
                 points, cls, target = next(train_iter)
-            pts = augment_sup(points, rng)
+            pts = points if args.fused_augment \
+                else augment_sup(points, rng)
             if args.category:
                 cls_onehot = to_categorical(jnp.asarray(cls),
                                             args.num_classes)
@@ -309,13 +312,18 @@ def main(args):
                     selfsup_iter = iter(selfsup_loader)
                     ss = next(selfsup_iter)
                 ss_points, chamfer_pts, ss_cls, _ = ss
-                ss_points = augment_sup(ss_points, rng)
-                chamfer_pts = augment_sup(chamfer_pts, rng)
-                # reference re-samples the encoder input from the full-res
-                # cloud (train:441)
-                choice = rng.choice(chamfer_pts.shape[1], args.npoint,
-                                    replace=False)
-                enc_pts = chamfer_pts[:, choice, :]
+                if args.fused_augment:
+                    # augmentation + resample happen inside the jit; feed
+                    # a correctly-shaped placeholder for the encoder input
+                    enc_pts = chamfer_pts[:, :args.npoint, :]
+                else:
+                    ss_points = augment_sup(ss_points, rng)
+                    chamfer_pts = augment_sup(chamfer_pts, rng)
+                    # reference re-samples the encoder input from the
+                    # full-res cloud (train:441)
+                    choice = rng.choice(chamfer_pts.shape[1], args.npoint,
+                                        replace=False)
+                    enc_pts = chamfer_pts[:, choice, :]
                 if args.normal:
                     enc_pts = np.concatenate(
                         [enc_pts[:, :, :3],

@@ -24,13 +24,17 @@ def _split_rngs(key, names):
     return dict(zip(names, keys))
 
 
-def make_supervised_step(model, loss_fn: Callable) -> Callable:
+def make_supervised_step(model, loss_fn: Callable,
+                         fused_augment: bool = False) -> Callable:
     """Build the jitted supervised step.
 
     Args:
         model: flax module with the SegOutput forward contract.
         loss_fn: ``(seg_logits, target, trans_feat) -> scalar`` (the model
             module's ``get_loss``).
+        fused_augment: apply the standard scale+shift augmentation on
+            device inside the jit (zero host work per step) instead of
+            expecting pre-augmented batches.
     Returns:
         ``step(state, points, cls_onehot, target, lr, bn_momentum, key)
         -> (state, metrics)`` with metrics = {loss, acc}.
@@ -38,6 +42,11 @@ def make_supervised_step(model, loss_fn: Callable) -> Callable:
 
     @jax.jit
     def step(state, points, cls_onehot, target, lr, bn_momentum, key):
+        if fused_augment:
+            from prifit_tpu.data.augment_jax import standard_train_augment
+
+            key, k_aug = jax.random.split(key)
+            points = standard_train_augment(k_aug, points)
         rngs = _split_rngs(key, ("sampling", "dropout"))
 
         def compute(params):
@@ -59,13 +68,19 @@ def make_supervised_step(model, loss_fn: Callable) -> Callable:
     return step
 
 
-def make_selfsup_step(model, *, lmbda_is_traced: bool = True,
+def make_selfsup_step(model, *, fused_augment: bool = False,
                       **convex_kwargs) -> Callable:
     """Build the jitted self-supervised (convex loss) step.
 
     ``convex_kwargs`` are the static convex-loss flags
     (include_convex_loss=True, quantile, msc_iterations, max_num_clusters,
     include_*_loss, if_cuboid, alpha, n_per_prim).
+
+    With ``fused_augment`` the whole reference per-step pipeline runs on
+    device: scale+shift augment of the full-resolution cloud, random
+    2048-point resample for the encoder (``train:441``), then
+    encode -> cluster -> fit -> sample -> chamfer -> backward — one XLA
+    program, zero host work.
 
     Returns:
         ``step(state, points, chamfer_points, cls_onehot, lr, bn_momentum,
@@ -76,6 +91,15 @@ def make_selfsup_step(model, *, lmbda_is_traced: bool = True,
     @jax.jit
     def step(state, points, chamfer_points, cls_onehot, lr, bn_momentum,
              lmbda, key):
+        if fused_augment:
+            from prifit_tpu.data.augment_jax import standard_train_augment
+
+            key, k_aug, k_choice = jax.random.split(key, 3)
+            chamfer_points = standard_train_augment(k_aug, chamfer_points)
+            n = points.shape[1]
+            choice = jax.random.choice(
+                k_choice, chamfer_points.shape[1], (n,), replace=False)
+            points = chamfer_points[:, choice, :]
         rngs = _split_rngs(key, ("sampling", "dropout", "selfsup"))
 
         def compute(params):

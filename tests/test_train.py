@@ -271,3 +271,37 @@ class TestEndToEndCLI:
 
         main(parse_args(["--batch_size", "1", "--quantile", "0.05",
                          "--msc_iterations", "3", "--n_per_prim", "32"]))
+
+
+class TestFusedAugment:
+    def test_augment_jax_matches_provider_semantics(self):
+        import jax
+        import jax.numpy as jnp
+        from prifit_tpu.data import augment_jax
+
+        rng = np.random.default_rng(0)
+        batch = jnp.asarray(rng.normal(size=(4, 64, 3)), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        out = augment_jax.random_scale_point_cloud(key, batch)
+        ratio = np.asarray(out) / np.asarray(batch)
+        assert ratio.min() >= 0.8 - 1e-5 and ratio.max() <= 1.25 + 1e-5
+        out = augment_jax.shift_point_cloud(key, batch)
+        d = np.asarray(out) - np.asarray(batch)
+        assert np.allclose(d.std(axis=1), 0, atol=1e-6)
+        out = augment_jax.rotate_point_cloud(key, batch)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=2),
+            np.linalg.norm(np.asarray(batch), axis=2), rtol=1e-4)
+        out = augment_jax.jitter_point_cloud(key, batch)
+        assert np.abs(np.asarray(out) - np.asarray(batch)).max() <= 0.05001
+        out = augment_jax.random_point_dropout(key, batch)
+        assert out.shape == batch.shape
+
+    def test_fused_supervised_step(self, ssg_setup):
+        mod, model, pts, cls, state = ssg_setup
+        step = make_supervised_step(model, mod.get_loss,
+                                    fused_augment=True)
+        target = jnp.zeros((B, N), jnp.int32)
+        state, m = step(state, pts, cls, target, 0.005, 0.1,
+                        jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
