@@ -136,6 +136,24 @@ def mean_shift_iterations(X: jax.Array, bandwidth: jax.Array,
     """
     b2 = bandwidth ** 2
 
+    N, D_ = X.shape
+    if kernel_type == "gaussian" and jax.default_backend() == "tpu":
+        from prifit_tpu.ops.pallas.mean_shift import (
+            mean_shift_step_pallas,
+            supports_pallas,
+        )
+
+        if supports_pallas(N, D_):
+            # fused flash-style kernel: no [N, N] HBM traffic in either
+            # direction; custom VJP with the same tiled structure
+            def pallas_step(new_X, _):
+                m = mean_shift_step_pallas(new_X, X, b2)
+                m = m / jnp.linalg.norm(m, axis=1, keepdims=True)
+                return m, None
+
+            out, _ = jax.lax.scan(pallas_step, X, None, length=iterations)
+            return out
+
     # remat: without this the backward pass stores every iteration's [N, N]
     # kernel matrix (iters x B x candidates x N x N blew 32 GB HBM on a
     # B=24, N=2048 run); recomputing them per backward step is cheap

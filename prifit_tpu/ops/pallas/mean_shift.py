@@ -1,22 +1,29 @@
-"""Fused mean-shift update step as a flash-attention-style Pallas kernel.
+"""Fused mean-shift update step as flash-attention-style Pallas kernels.
 
 One mean-shift iteration computes ``m_i = sum_j K_ij x_j / sum_j K_ij``
 with ``K = exp((<q_i, x_j> - 1) / b^2)`` (Gaussian kernel on squared
 chordal distance; reference ``src/mean_shift.py:50-84``).  The jnp version
-materializes the ``[N, N]`` kernel matrix in HBM twice per iteration
-(write after the first matmul, read by the second) — at N=2048, B=24,
-10 iterations and 2 bandwidth candidates that is ~15 GB of HBM traffic
-per forward, which dominates the pipeline.
+materializes the ``[N, N]`` kernel matrix in HBM in the forward and
+several more ``[N, N]`` intermediates in the backward.
 
-This kernel streams column tiles of X through VMEM and accumulates
-``K @ X`` and the row sums on-core, exactly like a flash-attention inner
-loop.  No max-subtraction pass is needed: unit vectors give ``sim <= 1``
-so the exponent is bounded above by 0 (the reference's ``guard_exp``
-lower clamp at -13 is reproduced).
+Forward: stream column tiles of X through VMEM, accumulate ``K @ X`` and
+the row sums on-core.  No max-subtraction pass is needed: unit vectors
+give ``sim <= 1`` so the exponent is bounded above by 0 (the reference's
+``guard_exp`` lower clamp at -13 is reproduced, including its gradient
+cutoff).
 
-Differentiability: the op carries a ``custom_vjp`` whose backward
-re-derives the step with jnp (one extra recompute; the backward still
-materializes per-tile kernels but runs only under ``jax.grad``).
+Backward (custom VJP): with residuals ``(q, X, b^2, m, s)`` and cotangent
+``g``,
+
+    dK_ij = (g_i . x_j - g_i . m_i) / s_i
+    t_ij  = K_ij dK_ij / b^2            (0 where the exponent clamped)
+    dq_i  = sum_j t_ij x_j
+    dx_j  = sum_i t_ij q_i + sum_i (K_ij / s_i) g_i
+
+computed in two tiled passes that recompute K on the fly — the classic
+flash-attention backward structure; nothing [N, N] ever touches HBM.
+``b^2`` gets a zero cotangent (the reference computes the bandwidth under
+``torch.no_grad``).
 """
 
 import functools
@@ -28,10 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROW_TILE = 512
 _COL_TILE = 1024
+_CLAMP = -13.0
 
 
-def _ms_kernel(bw2_ref, q_ref, x_ref, out_ref, acc_ref, s_ref, *, col_tile):
-    # q_ref: [T, D]; x_ref: [N, D] (full); out_ref: [T, D]
+def _fwd_kernel(bw2_ref, q_ref, x_ref, out_ref, s_out_ref, acc_ref, s_ref,
+                *, col_tile):
+    # q_ref: [T, D]; x_ref: [N, D] (full); out_ref: [T, D]; s_out: [T, 1]
     N = x_ref.shape[0]
     q = q_ref[:]
     inv_bw2 = 1.0 / bw2_ref[0, 0]
@@ -41,7 +50,7 @@ def _ms_kernel(bw2_ref, q_ref, x_ref, out_ref, acc_ref, s_ref, *, col_tile):
     def body(c, _):
         xc = x_ref[pl.ds(c * col_tile, col_tile), :]        # [C, D]
         sim = jnp.dot(q, xc.T, preferred_element_type=jnp.float32)
-        expo = jnp.maximum((sim - 1.0) * inv_bw2, -13.0)    # guard_exp
+        expo = jnp.maximum((sim - 1.0) * inv_bw2, _CLAMP)   # guard_exp
         K = jnp.exp(expo)                                   # [T, C]
         acc_ref[:] += jnp.dot(K, xc, preferred_element_type=jnp.float32)
         s_ref[:] += jnp.sum(K, axis=1, keepdims=True)
@@ -49,12 +58,68 @@ def _ms_kernel(bw2_ref, q_ref, x_ref, out_ref, acc_ref, s_ref, *, col_tile):
 
     jax.lax.fori_loop(0, N // col_tile, body, 0)
     out_ref[:] = acc_ref[:] / s_ref[:]
+    s_out_ref[:] = s_ref[:]
 
 
-def _pallas_step(q, X, bw2, interpret=False):
+def _bwd_dq_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref, out_ref,
+                   acc_ref, *, col_tile):
+    # per row tile: dq_i = sum_j t_ij x_j
+    N = x_ref.shape[0]
+    q, g = q_ref[:], g_ref[:]
+    cvec, svec = c_ref[:], s_ref[:]                         # [T, 1]
+    inv_bw2 = 1.0 / bw2_ref[0, 0]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(c, _):
+        xc = x_ref[pl.ds(c * col_tile, col_tile), :]        # [C, D]
+        sim = jnp.dot(q, xc.T, preferred_element_type=jnp.float32)
+        expo = (sim - 1.0) * inv_bw2
+        K = jnp.exp(jnp.maximum(expo, _CLAMP))
+        gX = jnp.dot(g, xc.T, preferred_element_type=jnp.float32)
+        dK = (gX - cvec) / svec
+        t = jnp.where(expo > _CLAMP, K * dK * inv_bw2, 0.0)
+        acc_ref[:] += jnp.dot(t, xc, preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, N // col_tile, body, 0)
+    out_ref[:] = acc_ref[:]
+
+
+def _bwd_dx_kernel(bw2_ref, x_ref, q_ref, g_ref, c_ref, s_ref, out_ref,
+                   acc_ref, *, row_tile):
+    # per column tile (rows of X): dx_j = sum_i t_ij q_i + (K/s)^T g
+    Nq = q_ref.shape[0]
+    xc = x_ref[:]                                           # [C, D]
+    inv_bw2 = 1.0 / bw2_ref[0, 0]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(r, _):
+        qi = q_ref[pl.ds(r * row_tile, row_tile), :]        # [T, D]
+        gi = g_ref[pl.ds(r * row_tile, row_tile), :]
+        ci = c_ref[pl.ds(r * row_tile, row_tile), :]        # [T, 1]
+        si = s_ref[pl.ds(r * row_tile, row_tile), :]
+        simT = jnp.dot(xc, qi.T, preferred_element_type=jnp.float32)
+        expo = (simT - 1.0) * inv_bw2                       # [C, T]
+        K_T = jnp.exp(jnp.maximum(expo, _CLAMP))
+        gXT = jnp.dot(xc, gi.T, preferred_element_type=jnp.float32)
+        dK_T = (gXT - ci[:, 0][None, :]) / si[:, 0][None, :]
+        t_T = jnp.where(expo > _CLAMP, K_T * dK_T * inv_bw2, 0.0)
+        acc_ref[:] += jnp.dot(t_T, qi, preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(K_T / si[:, 0][None, :], gi,
+                              preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, Nq // row_tile, body, 0)
+    out_ref[:] = acc_ref[:]
+
+
+def _tiles(N):
+    return min(_ROW_TILE, N), min(_COL_TILE, N)
+
+
+def _pallas_fwd(q, X, bw2, interpret=False):
     N, D = X.shape
-    T = min(_ROW_TILE, N)
-    C = min(_COL_TILE, N)
+    T, C = _tiles(N)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(N // T,),
@@ -66,15 +131,20 @@ def _pallas_step(q, X, bw2, interpret=False):
             pl.BlockSpec((N, D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((T, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[pltpu.VMEM((T, D), jnp.float32),
                         pltpu.VMEM((T, 1), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_ms_kernel, col_tile=C),
+        functools.partial(_fwd_kernel, col_tile=C),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((N, D), jnp.float32),
+                   jax.ShapeDtypeStruct((N, 1), jnp.float32)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * N * N * D, bytes_accessed=3 * N * D * 4,
@@ -82,10 +152,73 @@ def _pallas_step(q, X, bw2, interpret=False):
     )(bw2.reshape(1, 1), q, X)
 
 
+def _pallas_bwd(q, X, bw2, m, s, g, interpret=False):
+    N, D = X.shape
+    T, C = _tiles(N)
+    cvec = jnp.sum(g * m, axis=1, keepdims=True)            # [N, 1]
+    bw2r = bw2.reshape(1, 1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, col_tile=C),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(N // T,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, D), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((T, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        interpret=interpret,
+    )(bw2r, q, g, cvec, s, X)
+
+    dX = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, row_tile=T),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(N // C,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, D), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, D), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((C, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((C, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        interpret=interpret,
+    )(bw2r, X, q, g, cvec, s)
+
+    return dq, dX
+
+
 def _ref_step(q, X, bw2):
-    """jnp reference of the same update (used for backward + fallback)."""
+    """jnp reference of the same update (fallback + oracle for tests)."""
     sim = jnp.matmul(q, X.T, preferred_element_type=jnp.float32)
-    expo = jnp.maximum((sim - 1.0) / bw2, -13.0)
+    expo = jnp.maximum((sim - 1.0) / bw2, _CLAMP)
     K = jnp.exp(expo)
     s = jnp.sum(K, axis=1, keepdims=True)
     return jnp.matmul(K, X, preferred_element_type=jnp.float32) / s
@@ -98,17 +231,18 @@ def mean_shift_step_pallas(q, X, bw2, interpret=False):
     ``bw2`` is the squared bandwidth (scalar; no-grad in the reference —
     it comes from a ``torch.no_grad`` quantile pass).
     """
-    return _pallas_step(q, X, bw2, interpret)
+    m, _ = _pallas_fwd(q, X, bw2, interpret)
+    return m
 
 
 def _fwd(q, X, bw2, interpret):
-    return _pallas_step(q, X, bw2, interpret), (q, X, bw2)
+    m, s = _pallas_fwd(q, X, bw2, interpret)
+    return m, (q, X, bw2, m, s)
 
 
 def _bwd(interpret, res, g):
-    q, X, bw2 = res
-    _, vjp = jax.vjp(_ref_step, q, X, bw2)
-    dq, dX, _ = vjp(g)
+    q, X, bw2, m, s = res
+    dq, dX = _pallas_bwd(q, X, bw2, m, s, g, interpret)
     return dq, dX, jnp.zeros_like(bw2)
 
 
@@ -116,7 +250,6 @@ mean_shift_step_pallas.defvjp(_fwd, _bwd)
 
 
 def supports_pallas(N: int, D: int) -> bool:
-    """Shape-alignment gate for the fused kernel."""
-    T = min(_ROW_TILE, N)
-    C = min(_COL_TILE, N)
+    """Shape-alignment gate for the fused kernels."""
+    T, C = _tiles(N)
     return D % 128 == 0 and N % T == 0 and N % C == 0 and N >= 256
