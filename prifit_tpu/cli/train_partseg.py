@@ -101,6 +101,10 @@ def build_model(args, mod):
         return mod.get_model(num_classes=args.num_parts, **kwargs)
     if args.model == "reconstruction":
         return mod.get_model(num_classes=args.num_parts, **kwargs)
+    if args.model == "pretrain_pointnet2_part_seg_msg":
+        return mod.get_model(num_parts=args.num_parts,
+                             l2_norm=args.l2_norm,
+                             reconstruct=args.reconstruct, **kwargs)
     return mod.get_model(num_parts=args.num_parts, l2_norm=args.l2_norm,
                          reconstruct=args.reconstruct,
                          extra_layers=args.extra_layers, **kwargs)

@@ -84,7 +84,8 @@ class get_model(nn.Module):
                                      lambda: jnp.ones((), jnp.float32))
             beta = beta_var.value
             new_beta = jnp.where(beta > 0.001, beta * 0.99, beta)
-            if not self.is_initializing():
+            if not self.is_initializing() and \
+                    self.is_mutable_collection("selfsup_state"):
                 beta_var.value = new_beta
             beta_eff = jnp.where(beta > 0.001, new_beta, 0.0)
 

@@ -305,3 +305,38 @@ class TestFusedAugment:
         state, m = step(state, pts, cls, target, 0.005, 0.1,
                         jax.random.PRNGKey(0))
         assert np.isfinite(float(m["loss"]))
+
+
+class TestPretrainAndTestingCLI:
+    def test_pretrain_cli(self, tmp_path):
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.pretrain_partseg import main
+
+        acd = make_acd_fixture(str(tmp_path / "acd"), n_shapes=10,
+                               n_points=96)
+        args = parse_args([
+            "--model", "pretrain_pointnet2_part_seg_msg", "--epoch", "2",
+            "--batch_size", "2", "--npoint", "48", "--selfsup",
+            "--ss_path", acd, "--quantile", "0.1",
+            "--msc_iterations", "2", "--max_num_clusters", "4",
+            "--n_per_prim", "16", "--chamfer_npoints", "96",
+            "--experiment_root", str(tmp_path / "log"),
+            "--learning_rate", "0.001"])
+        best_val = main(args)
+        assert np.isfinite(best_val)
+        # best_model checkpoint saved
+        import glob
+        assert glob.glob(str(tmp_path / "log" / "**" / "best_model"),
+                         recursive=True)
+
+    def test_testing_cli(self, tmp_path):
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.testing import main
+
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=6,
+                                   n_points=64)
+        args = parse_args([
+            "--model", "pointnet2_part_seg_ssg", "--batch_size", "2",
+            "--npoint", "48", "--data_root", sn])
+        metrics = main(args)
+        assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
