@@ -110,9 +110,18 @@ def _kth_smallest_bisect(dist: jax.Array, Ks, iters: int = 24) -> jax.Array:
 def _bandwidth_candidates(X: jax.Array, quantile: float,
                           num_candidates: int) -> jax.Array:
     """Bandwidths for quantile, 2q, 4q, ... from one shared counting pass."""
-    N = X.shape[0]
+    N, D = X.shape
     Ks = [max(min(int(quantile * (2 ** c) * N), N), 1)
           for c in range(num_candidates)]
+    if jax.default_backend() == "tpu":
+        from prifit_tpu.ops.pallas.bandwidth import (
+            kth_nn_distance_pallas,
+            supports_bandwidth_pallas,
+        )
+
+        if supports_bandwidth_pallas(N, D):
+            kths = kth_nn_distance_pallas(X, tuple(Ks))          # [C, N]
+            return jnp.mean(guard_sqrt(kths, 1e-6), axis=1)
     dist = _chordal_sqdist(X, X)
     kths = _kth_smallest_bisect(dist, Ks)                        # [C, N]
     return jnp.mean(guard_sqrt(kths, 1e-6), axis=1)              # [C]

@@ -58,3 +58,20 @@ class TestPallasMeanShift:
         assert supports_pallas(2048, 128)
         assert not supports_pallas(100, 128)
         assert not supports_pallas(2048, 96)
+
+
+class TestPallasBandwidth:
+    def test_matches_bisect(self, rng):
+        import jax.numpy as jnp
+        from prifit_tpu.clustering.mean_shift import (
+            _chordal_sqdist,
+            _kth_smallest_bisect,
+        )
+        from prifit_tpu.ops.pallas.bandwidth import kth_nn_distance_pallas
+
+        X = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
+        X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
+        ref = _kth_smallest_bisect(_chordal_sqdist(X, X), [13, 26])
+        got = kth_nn_distance_pallas(X, (13, 26), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
