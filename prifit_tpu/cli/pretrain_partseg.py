@@ -29,7 +29,11 @@ from prifit_tpu.cli.train_partseg import (
 )
 from prifit_tpu.data import ACDSelfSupDataset, DataLoader, provider
 from prifit_tpu.models import get_module
-from prifit_tpu.parallel import make_data_mesh, shard_batch
+from prifit_tpu.parallel import (
+    make_data_mesh,
+    maybe_initialize_distributed,
+    shard_batch,
+)
 from prifit_tpu.train.checkpoint import save_checkpoint
 from prifit_tpu.train.schedules import bn_momentum_schedule, lr_schedule
 from prifit_tpu.train.state import create_train_state, selfsup_init_kwargs
@@ -48,10 +52,13 @@ def augment_pretrain(points, args, rng):
             pts[:, :, 0:3], scale_low=0.8, scale_high=1.25, rng=rng)
     if args.rotation_z:
         pts = provider.rotate_point_cloud_y(pts, rng=rng)
+    if args.rotation_z_45:
+        pts = provider.rotate_point_cloud_y_pi4(pts, rng=rng)
     return pts
 
 
 def main(args):
+    maybe_initialize_distributed()
     exp_dir = osp.join(args.experiment_root,
                        "pretrain_" + experiment_name(args))
     ckpt_dir = osp.join(exp_dir, "checkpoints")

@@ -39,7 +39,11 @@ from prifit_tpu.data import (
 )
 from prifit_tpu.eval.miou import evaluation, make_eval_forward
 from prifit_tpu.models import get_module, to_categorical
-from prifit_tpu.parallel import make_data_mesh, shard_batch
+from prifit_tpu.parallel import (
+    make_data_mesh,
+    maybe_initialize_distributed,
+    shard_batch,
+)
 from prifit_tpu.train.checkpoint import (
     restore_checkpoint,
     restore_params_only,
@@ -118,7 +122,8 @@ def augment_sup(points, rng):
     return pts
 
 
-def train_init_class(state, model, mod, loader, args, log):
+def train_init_class(state, model, mod, loader, args, log,
+                     num_epochs: int = 500):
     """Logistic-regression re-init of the final classifier layer.
 
     Reference ``train_init_class`` (``train:56-99``): 500 epochs of
@@ -148,7 +153,7 @@ def train_init_class(state, model, mod, loader, args, log):
 
     params = state.params
     rng = np.random.default_rng(args.seed)
-    for epoch in range(500):
+    for epoch in range(num_epochs):
         losses = []
         for points, cls, target in loader:
             pts = augment_sup(points, rng)
@@ -158,13 +163,14 @@ def train_init_class(state, model, mod, loader, args, log):
                 jnp.asarray(target.astype(np.int32)),
                 jax.random.PRNGKey(epoch))
             losses.append(float(loss))
-        if epoch % 100 == 0:
-            log(f"Init Classifier epoch {epoch + 1}/500 "
+        if epoch % 100 == 0 or epoch == num_epochs - 1:
+            log(f"Init Classifier epoch {epoch + 1}/{num_epochs} "
                 f"loss {np.mean(losses):.4f}")
     return state.replace(params=params)
 
 
 def main(args):
+    maybe_initialize_distributed()
     exp_dir = osp.join(args.experiment_root, experiment_name(args))
     ckpt_dir = osp.join(exp_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)

@@ -1,4 +1,5 @@
 from prifit_tpu.parallel.mesh import (
+    maybe_initialize_distributed,
     make_mesh,
     make_data_mesh,
     shard_batch,
@@ -6,5 +7,5 @@ from prifit_tpu.parallel.mesh import (
     batch_sharding,
 )
 
-__all__ = ["make_mesh", "make_data_mesh", "shard_batch", "replicate",
+__all__ = ["maybe_initialize_distributed", "make_mesh", "make_data_mesh", "shard_batch", "replicate",
            "batch_sharding"]

@@ -16,6 +16,8 @@ Multi-host pods need no extra code here: under
 feeds its addressable shard (``data.loader.shard_for_host``).
 """
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -61,3 +63,17 @@ def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a pod coordinator.
+
+    No-op on single-host runs.  Honors the standard env used by TPU pod
+    launchers (``jax.distributed.initialize`` auto-detects TPU pods; the
+    env guard avoids touching single-chip axon sessions).
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            int(os.environ.get("PRIFIT_DISTRIBUTED", "0")):
+        jax.distributed.initialize()
+        return True
+    return False

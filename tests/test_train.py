@@ -340,3 +340,32 @@ class TestPretrainAndTestingCLI:
             "--npoint", "48", "--data_root", sn])
         metrics = main(args)
         assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
+
+
+class TestInitClass:
+    def test_conv2_reinit_runs_and_only_touches_conv2(self, tmp_path):
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.train_partseg import train_init_class
+        from prifit_tpu.data import DataLoader, PartNormalDataset
+        from tests.fixtures import make_shapenet_fixture
+
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=4,
+                                   n_points=64)
+        args = parse_args(["--npoint", "48", "--data_root", sn])
+        ds = PartNormalDataset(sn, npoints=48, split="train",
+                               rng=np.random.default_rng(0))
+        loader = DataLoader(ds, 2)
+        mod = get_module("pointnet2_part_seg_ssg")
+        model = mod.get_model(num_classes=PARTS)
+        pts = jnp.zeros((2, 48, 3))
+        cls = jnp.zeros((2, 16))
+        state = create_train_state(model, (pts, cls), dict(train=True))
+        before = jax.tree_util.tree_map(np.asarray, state.params)
+        new_state = train_init_class(state, model, mod, loader, args,
+                                     lambda *_: None, num_epochs=2)
+        after = new_state.params
+        # conv2 changed; everything else identical
+        assert not np.allclose(before["conv2"]["kernel"],
+                               np.asarray(after["conv2"]["kernel"]))
+        np.testing.assert_array_equal(
+            before["conv1"]["kernel"], np.asarray(after["conv1"]["kernel"]))
