@@ -22,6 +22,9 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: the pipeline compile is 30-150s cold
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 BATCH = int(os.environ.get("BENCH_BATCH", 24))
 NPOINT = int(os.environ.get("BENCH_NPOINT", 2048))
 REPS = int(os.environ.get("BENCH_REPS", 10))

@@ -99,7 +99,9 @@ def farthest_point_sample(xyz: jax.Array, npoint: int,
         ``[B, npoint]`` int32 indices.
     """
     B, N, _ = xyz.shape
-    if jax.default_backend() == "tpu":
+    # N == 128 (exactly one lane tile) trips a Mosaic legalization bug in
+    # the kernel's argmax as of jax 0.8; everything >= 192 is fine
+    if jax.default_backend() == "tpu" and N >= 192:
         from prifit_tpu.ops.pallas.fps import farthest_point_sample_pallas
 
         return farthest_point_sample_pallas(
