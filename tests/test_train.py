@@ -369,3 +369,27 @@ class TestInitClass:
                                np.asarray(after["conv2"]["kernel"]))
         np.testing.assert_array_equal(
             before["conv1"]["kernel"], np.asarray(after["conv1"]["kernel"]))
+
+
+class TestLearning:
+    def test_overfits_single_batch(self):
+        """30 steps on one batch must push accuracy way above chance —
+        end-to-end evidence that gradients, BN state, and the optimizer
+        actually optimize."""
+        mod = get_module("pointnet2_part_seg_ssg")
+        model = mod.get_model(num_classes=4)
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = to_categorical(jnp.zeros((2, 1), jnp.int32))
+        # learnable structure: label = octant-ish partition of space
+        target = jnp.asarray(
+            (np.asarray(pts[..., 0]) > 0).astype(np.int32)
+            + 2 * (np.asarray(pts[..., 1]) > 0).astype(np.int32))
+        state = create_train_state(model, (pts, cls), dict(train=True))
+        step = make_supervised_step(model, mod.get_loss)
+        accs = []
+        for i in range(30):
+            state, m = step(state, pts, cls, target, 0.01, 0.1,
+                            jax.random.PRNGKey(0))
+            accs.append(float(m["acc"]))
+        assert accs[-1] > 0.9, f"did not overfit: {accs[-5:]}"
