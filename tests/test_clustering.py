@@ -187,3 +187,46 @@ def test_hard_weights(rng):
     w = np.asarray(res.weights)
     assert set(np.unique(w)) <= {0.0, 1.0}
     np.testing.assert_array_equal(w.argmax(1), np.asarray(res.labels))
+
+
+class TestLazyClusterBatch:
+    def test_matches_cluster_single(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from prifit_tpu.clustering.mean_shift import (
+            cluster_batch,
+            cluster_single,
+        )
+
+        X = jnp.asarray(rng.normal(size=(3, 128, 16)), jnp.float32)
+        kw = dict(quantile=0.1, iterations=4, max_num_clusters=8,
+                  num_candidates=2)
+        batched = cluster_batch(X, **kw)
+        single = jax.vmap(lambda x: cluster_single(x, **kw))(X)
+        np.testing.assert_allclose(np.asarray(batched.weights),
+                                   np.asarray(single.weights), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(batched.labels),
+                                      np.asarray(single.labels))
+        np.testing.assert_array_equal(np.asarray(batched.valid),
+                                      np.asarray(single.valid))
+        np.testing.assert_allclose(np.asarray(batched.bandwidth),
+                                   np.asarray(single.bandwidth), rtol=1e-6)
+
+    def test_retry_path_matches(self, rng):
+        """Tiny quantile forces the overflow/retry branch."""
+        import jax
+        import jax.numpy as jnp
+        from prifit_tpu.clustering.mean_shift import (
+            cluster_batch,
+            cluster_single,
+        )
+
+        X = jnp.asarray(rng.normal(size=(2, 128, 16)), jnp.float32)
+        kw = dict(quantile=0.01, iterations=4, max_num_clusters=3,
+                  num_candidates=3)
+        batched = cluster_batch(X, **kw)
+        single = jax.vmap(lambda x: cluster_single(x, **kw))(X)
+        np.testing.assert_array_equal(np.asarray(batched.labels),
+                                      np.asarray(single.labels))
+        np.testing.assert_allclose(np.asarray(batched.bandwidth),
+                                   np.asarray(single.bandwidth), rtol=1e-6)
