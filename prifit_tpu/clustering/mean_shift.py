@@ -68,6 +68,7 @@ def compute_bandwidth(X: jax.Array, quantile: float,
     Returns:
         scalar bandwidth.
     """
+    X = jax.lax.stop_gradient(X)  # no-grad in the reference (:29-31)
     N = X.shape[0]
     n = min(num_samples or N, N)
     K = max(int(quantile * n), 1)
@@ -109,7 +110,12 @@ def _kth_smallest_bisect(dist: jax.Array, Ks, iters: int = 24) -> jax.Array:
 
 def _bandwidth_candidates(X: jax.Array, quantile: float,
                           num_candidates: int) -> jax.Array:
-    """Bandwidths for quantile, 2q, 4q, ... from one shared counting pass."""
+    """Bandwidths for quantile, 2q, 4q, ... from one shared counting pass.
+
+    No-grad like the reference (``mean_shift.py:29-31`` wraps
+    ``compute_bandwidth`` in ``torch.no_grad``).
+    """
+    X = jax.lax.stop_gradient(X)
     N, D = X.shape
     Ks = [max(min(int(quantile * (2 ** c) * N), N), 1)
           for c in range(num_candidates)]
@@ -129,7 +135,8 @@ def _bandwidth_candidates(X: jax.Array, quantile: float,
 
 def mean_shift_iterations(X: jax.Array, bandwidth: jax.Array,
                           iterations: int,
-                          kernel_type: str = "gaussian") -> jax.Array:
+                          kernel_type: str = "gaussian",
+                          use_pallas: bool | None = None) -> jax.Array:
     """Fixed-iteration differentiable mean-shift updates.
 
     Reference ``src/mean_shift.py:50-84``: every point is a seed; gaussian
@@ -146,7 +153,10 @@ def mean_shift_iterations(X: jax.Array, bandwidth: jax.Array,
     b2 = bandwidth ** 2
 
     N, D_ = X.shape
-    if kernel_type == "gaussian" and jax.default_backend() == "tpu":
+    if use_pallas is None:
+        use_pallas = True
+    if use_pallas and kernel_type == "gaussian" \
+            and jax.default_backend() == "tpu":
         from prifit_tpu.ops.pallas.mean_shift import (
             mean_shift_step_pallas,
             supports_pallas,
@@ -357,8 +367,9 @@ def cluster_batch(X: jax.Array, *, quantile: float = 0.01,
     bws = jax.vmap(
         lambda x: _bandwidth_candidates(x, quantile, num_candidates))(Xn)
 
-    def run_candidate(x, bw):
-        modes = mean_shift_iterations(x, bw, iterations, kernel_type)
+    def run_candidate(x, bw, use_pallas=None):
+        modes = mean_shift_iterations(x, bw, iterations, kernel_type,
+                                      use_pallas=use_pallas)
         center_ids, valid, n_distinct = nms_fixed_slots(
             modes, bw, max_num_clusters)
         centers = jnp.take(modes, center_ids, axis=0) * valid[:, None]
@@ -374,10 +385,16 @@ def cluster_batch(X: jax.Array, *, quantile: float = 0.01,
     if num_candidates > 1:
         need_retry = jnp.any(sel[3] > max_num_clusters)
 
+        # the retry branch must avoid the Pallas custom_vjp: reverse-mode
+        # through lax.cond linearizes both branches and custom_vjp has no
+        # JVP rule; the rare retry path uses the jnp mean-shift instead
+        run_batch_jnp = jax.vmap(
+            lambda x, bw: run_candidate(x, bw, use_pallas=False))
+
         def with_retries(prev):
             out, taken = prev, prev[3] <= max_num_clusters
             for c in range(1, num_candidates):
-                cand = run_batch(Xn, bws[:, c])
+                cand = run_batch_jnp(Xn, bws[:, c])
                 is_last = c == num_candidates - 1
                 fits = cand[3] <= max_num_clusters
                 use = (~taken) & (fits | is_last)
