@@ -274,6 +274,9 @@ def main(args):
             n_per_prim=args.n_per_prim, alpha=args.alpha)
 
     base_key = jax.random.PRNGKey(args.seed)
+    best_metrics = {"best_class_avg_miou": 0.0, "best_acc": 0.0,
+                    "best_epoch": 0, "best_instance_avg_miou": 0.0,
+                    "best_chamfer_loss": float("inf")}
 
     # ---------------------------------------------------------- epochs
     for epoch in range(start_epoch, args.epoch):
@@ -368,16 +371,18 @@ def main(args):
                 "bn_momentum": momentum, "lambda": lmbda}) + "\n")
 
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
-            run_evaluation(args, epoch, model, state, log)
+            run_evaluation(args, epoch, model, state, log,
+                           metrics=best_metrics)
 
     # final evaluation (reference train:487)
-    metrics = run_evaluation(args, args.epoch - 1, model, state, log)
+    metrics = run_evaluation(args, args.epoch - 1, model, state, log,
+                             metrics=best_metrics)
     with open(metrics_path, "a") as f:
         f.write(json.dumps({"final_eval": metrics}) + "\n")
     return metrics
 
 
-def run_evaluation(args, epoch, model, state, log):
+def run_evaluation(args, epoch, model, state, log, metrics=None):
     eval_ds = PartNormalDataset(
         args.data_root, npoints=args.npoint, split=args.eval_split,
         normal_channel=args.normal, rng=np.random.default_rng(args.seed))
@@ -385,9 +390,8 @@ def run_evaluation(args, epoch, model, state, log):
                              drop_last=False)
     log(f"The number of test data is: {len(eval_ds)}")
     forward = make_eval_forward(model, state.variables())
-    metrics = evaluation(forward, eval_loader, num_parts=args.num_parts,
-                         epoch=epoch, log=log)
-    return metrics
+    return evaluation(forward, eval_loader, num_parts=args.num_parts,
+                      epoch=epoch, log=log, metrics=metrics)
 
 
 if __name__ == "__main__":
