@@ -95,6 +95,11 @@ def parse_args(argv=None):
     add("--num_bandwidth_candidates", type=int, default=2,
         help="parallel quantile-doubling candidates (reference retry loop)")
     add("--experiment_root", type=str, default="log")
+    add("--ss_loss", type=str, default="convex",
+        choices=["convex", "contrastive"],
+        help="self-sup objective: PRIFIT convex fitting loss (default) or "
+             "the original ACD pairwise contrastive loss (the reference "
+             "constructs the latter at train:235 but bypasses it)")
     add("--fused_augment", action="store_true", default=False,
         help="apply scale+shift augmentation on device inside the jitted "
              "step (one XLA program per step, zero host augmentation)")

@@ -55,7 +55,11 @@ from prifit_tpu.train.schedules import (
     lr_schedule,
 )
 from prifit_tpu.train.state import create_train_state, selfsup_init_kwargs
-from prifit_tpu.train.steps import make_selfsup_step, make_supervised_step
+from prifit_tpu.train.steps import (
+    make_contrastive_step,
+    make_selfsup_step,
+    make_supervised_step,
+)
 
 
 def setup_logger(name: str, logfile: str):
@@ -260,7 +264,16 @@ def main(args):
     sup_step = make_supervised_step(model, mod.get_loss,
                                     fused_augment=args.fused_augment)
     ss_step = None
-    if args.selfsup:
+    contrastive_step = None
+    if args.selfsup and args.ss_loss == "contrastive":
+        contrastive_step = make_contrastive_step(
+            model, mod.get_selfsup_loss, margin=args.margin)
+    elif args.selfsup:
+        # NOTE the reference gates the convex loss on
+        # --include_convex_loss even under --selfsup (train:444) and its
+        # README recipe omits the flag, which trains with a ZERO self-sup
+        # loss as shipped; --selfsup here implies the convex loss (the
+        # paper's intent)
         ss_step = make_selfsup_step(
             model,
             fused_augment=args.fused_augment,
@@ -318,7 +331,27 @@ def main(args):
             sup_losses.append(m["loss"])
 
             # ---------------- self-supervised step
-            if args.selfsup:
+            if contrastive_step is not None:
+                try:
+                    ss = next(selfsup_iter)
+                except StopIteration:
+                    selfsup_iter = iter(selfsup_loader)
+                    ss = next(selfsup_iter)
+                if len(ss) == 4:
+                    ss_points, _, ss_cls, ss_seg = ss
+                else:
+                    ss_points, ss_cls, ss_seg = ss
+                ss_points = augment_sup(ss_points, rng)
+                cls_zero = jnp.zeros((ss_points.shape[0],
+                                      args.num_classes))
+                key = jax.random.fold_in(base_key,
+                                         epoch * 1000003 + i * 2 + 1)
+                state, m = contrastive_step(
+                    state, jnp.asarray(ss_points[:, :, :3]), cls_zero,
+                    jnp.asarray(ss_seg.astype(np.int32)), lr, momentum,
+                    lmbda, key)
+                ss_losses.append(m["ss_loss"])
+            elif args.selfsup:
                 try:
                     ss = next(selfsup_iter)
                 except StopIteration:

@@ -207,3 +207,31 @@ class TestLosses:
         oh = to_categorical(y)
         assert oh.shape == (2, 16)
         assert float(oh[0, 2]) == 1.0 and float(oh[1, 5]) == 1.0
+
+
+class TestShapeRobustness:
+    """Fused grouping paths across awkward shapes (odd N, N < nsample,
+    N < npoint) — the gates and pads must hold everywhere."""
+
+    @pytest.mark.parametrize("n", [40, 100, 130, 513])
+    def test_ssg_forward_odd_sizes(self, n, cls_onehot):
+        rng = np.random.default_rng(n)
+        pts = jnp.asarray(rng.normal(size=(B, n, 3)), jnp.float32)
+        mod = get_module("pointnet2_part_seg_ssg")
+        model = mod.get_model(num_classes=PARTS)
+        out, _, _ = _init_and_apply(model, (pts, cls_onehot))
+        assert out.seg_logits.shape == (B, n, PARTS)
+        assert np.all(np.isfinite(np.asarray(out.seg_logits)))
+
+    def test_msg_reference_path_matches_shapes(self, cloud, cls_onehot):
+        """fused=False (strict reference semantics) still works."""
+        from prifit_tpu.nn.pointnet2 import SetAbstractionMsg
+
+        sa = SetAbstractionMsg(16, [0.2, 0.4], [8, 16],
+                               [[8, 8], [8, 8]], fused=False)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1)}
+        v = sa.init(rngs, cloud, cloud, False)
+        new_xyz, feats = sa.apply(v, cloud, cloud, False)
+        assert new_xyz.shape == (B, 16, 3)
+        assert feats.shape == (B, 16, 16)

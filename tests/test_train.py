@@ -393,3 +393,25 @@ class TestLearning:
                             jax.random.PRNGKey(0))
             accs.append(float(m["acc"]))
         assert accs[-1] > 0.9, f"did not overfit: {accs[-5:]}"
+
+
+class TestContrastivePath:
+    def test_contrastive_training_cli(self, tmp_path):
+        """The original ACD contrastive objective end-to-end."""
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.train_partseg import main
+
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=6,
+                                   n_points=64)
+        acd = make_acd_fixture(str(tmp_path / "acd"), n_shapes=6,
+                               n_points=96)
+        args = parse_args([
+            "--model", "pointnet2_part_seg_msg", "--epoch", "1",
+            "--batch_size", "2", "--npoint", "48", "--k_shot", "2",
+            "--selfsup", "--ss_loss", "contrastive", "--ss_dataset", "acd",
+            "--ss_path", acd, "--data_root", sn,
+            "--chamfer_npoints", "96",
+            "--experiment_root", str(tmp_path / "log"),
+            "--learning_rate", "0.005"])
+        metrics = main(args)
+        assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
