@@ -38,8 +38,10 @@ class TestPallasMeanShift:
         bw2 = jnp.float32(0.3)
         ref = _ref_step(X, X, bw2)
         pal = mean_shift_step_pallas(X, X, bw2, True)
+        # kernel matmuls take bf16 operands (identical on TPU where the
+        # MXU consumes bf16 anyway; interpret mode on CPU really rounds)
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
-                                   atol=1e-5)
+                                   atol=5e-3)
 
     def test_gradient_matches_reference(self, rng):
         N, D = 256, 128
@@ -52,7 +54,7 @@ class TestPallasMeanShift:
         g_ref = jax.grad(lambda x: jnp.sum(
             _ref_step(x, x, bw2) ** 2))(X)
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
-                                   atol=1e-4)
+                                   atol=2e-2)
 
     def test_supports_gate(self):
         assert supports_pallas(2048, 128)
