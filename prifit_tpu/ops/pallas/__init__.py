@@ -9,5 +9,10 @@ bit-level comparison).
 
 from prifit_tpu.ops.pallas.fps import farthest_point_sample_pallas
 from prifit_tpu.ops.pallas.mean_shift import mean_shift_step_pallas
+from prifit_tpu.ops.pallas.bandwidth import kth_nn_distance_pallas
 
-__all__ = ["farthest_point_sample_pallas", "mean_shift_step_pallas"]
+__all__ = [
+    "farthest_point_sample_pallas",
+    "mean_shift_step_pallas",
+    "kth_nn_distance_pallas",
+]
