@@ -72,7 +72,10 @@ def compute_bandwidth(X: jax.Array, quantile: float,
     N = X.shape[0]
     n = min(num_samples or N, N)
     K = max(int(quantile * n), 1)
-    dist = _chordal_sqdist(X, X)
+    # subsample to n points like the reference (deterministic first-n
+    # instead of its random choice) so the rank matches the quantile OF n
+    Xs = X[:n]
+    dist = _chordal_sqdist(Xs, Xs)
     kth = _kth_smallest_bisect(dist, [K])[0]
     return jnp.mean(guard_sqrt(kth, 1e-6))
 
@@ -337,7 +340,12 @@ def cluster_single(X: jax.Array, *, quantile: float = 0.01,
 
     weights_kn = membership(centers, valid, X, bw)            # [K, N]
     if hard_weights:
-        hard = jax.nn.one_hot(labels, max_num_clusters, dtype=weights_kn.dtype)
+        # reference visualize branch one-hots the MEMBERSHIP argmax of
+        # the original embedding (ellipsoid_utils.py:48-54), not the
+        # mode-nearest labels
+        cluster_ids = jnp.argmax(weights_kn, axis=0)
+        hard = jax.nn.one_hot(cluster_ids, max_num_clusters,
+                              dtype=weights_kn.dtype)
         weights = hard * valid[None, :]
     else:
         weights = weights_kn.T                                # [N, K]
@@ -412,7 +420,9 @@ def cluster_batch(X: jax.Array, *, quantile: float = 0.01,
     def finish(c, v, x, b, l):
         w_kn = membership(c, v, x, b)
         if hard_weights:
-            hard = jax.nn.one_hot(l, max_num_clusters, dtype=w_kn.dtype)
+            cluster_ids = jnp.argmax(w_kn, axis=0)
+            hard = jax.nn.one_hot(cluster_ids, max_num_clusters,
+                                  dtype=w_kn.dtype)
             return hard * v[None, :]
         return w_kn.T
 

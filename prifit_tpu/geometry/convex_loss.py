@@ -75,6 +75,8 @@ def convex_loss(points: jax.Array, chamfer_points: jax.Array, X: jax.Array,
             falls back to deterministic equivalents when None.
     """
     B, N, _ = X.shape
+    # the entropy branch consumes normalized X; cluster_batch re-normalizes
+    # internally (idempotent, O(B N D) — negligible next to the pipeline)
     X = X / jnp.maximum(jnp.linalg.norm(X, axis=2, keepdims=True), 1e-12)
 
     if key is not None:

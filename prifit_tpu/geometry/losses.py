@@ -211,9 +211,10 @@ def intersection_loss_v4(params: PrimitiveParams, points: jax.Array,
         sdf = jnp.minimum(sdf, clamp)
         sdf = jnp.where(p.valid[None, :], sdf, 0.0)
         masked = jnp.where(p.valid[None, :], sdf, jnp.inf)
-        mn = jnp.min(masked, axis=1)          # most-negative (own) SDF
+        multi = jnp.sum(p.valid) > 1          # reference skips K_b <= 1
+        # guard the min against the all-invalid row (inf^2 -> -inf)
+        mn = jnp.where(multi, jnp.min(masked, axis=1), 0.0)
         loss = jnp.mean(jnp.sum(sdf ** 2, axis=1) - mn ** 2)
-        multi = jnp.sum(p.valid) != 1         # reference skips K_b == 1
         return jnp.where(multi, loss, 0.0), multi
 
     losses, multi = jax.vmap(one)(params, points)

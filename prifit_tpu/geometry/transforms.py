@@ -48,6 +48,12 @@ def standardize_point(point: jax.Array):
     """Center, rotate smallest principal axis onto x, scale to unit extent
     (``fitting_utils.py:160-174``).
 
+    Intended-behavior fix: the reference computes
+    ``mean = torch.mean(point, 0)[0]`` — indexing out the x-coordinate
+    mean and subtracting that SCALAR from all three axes (an indexing
+    quirk); this subtracts the full centroid vector, which is what
+    standardization means.
+
     Returns (point [N, 3], std [1, 3], mean [3], R [3, 3]).
     """
     mean = jnp.mean(point, axis=0)

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROW_TILE = 512
 _COL_TILE = 1024
-_CLAMP = -13.0
+_CLAMP_LO = -13.0
+_CLAMP_HI = 75.0  # guard_exp clips both sides (src/guard.py)
 
 
 def _fwd_kernel(bw2_ref, q_ref, x_ref, out_ref, s_out_ref, acc_ref, s_ref,
@@ -54,7 +55,7 @@ def _fwd_kernel(bw2_ref, q_ref, x_ref, out_ref, s_out_ref, acc_ref, s_ref,
         xc = x_ref[pl.ds(c * col_tile, col_tile), :]        # [C, D]
         xb = xc.astype(jnp.bfloat16)
         sim = jnp.dot(q, xb.T, preferred_element_type=jnp.float32)
-        expo = jnp.maximum((sim - 1.0) * inv_bw2, _CLAMP)   # guard_exp
+        expo = jnp.clip((sim - 1.0) * inv_bw2, _CLAMP_LO, _CLAMP_HI)
         K = jnp.exp(expo)                                   # [T, C]
         acc_ref[:] += jnp.dot(K.astype(jnp.bfloat16), xb,
                               preferred_element_type=jnp.float32)
@@ -81,10 +82,11 @@ def _bwd_dq_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref, out_ref,
         xb = xc.astype(jnp.bfloat16)
         sim = jnp.dot(q, xb.T, preferred_element_type=jnp.float32)
         expo = (sim - 1.0) * inv_bw2
-        K = jnp.exp(jnp.maximum(expo, _CLAMP))
+        K = jnp.exp(jnp.clip(expo, _CLAMP_LO, _CLAMP_HI))
         gX = jnp.dot(g, xb.T, preferred_element_type=jnp.float32)
         dK = (gX - cvec) / svec
-        t = jnp.where(expo > _CLAMP, K * dK * inv_bw2, 0.0)
+        t = jnp.where((expo > _CLAMP_LO) & (expo < _CLAMP_HI),
+                      K * dK * inv_bw2, 0.0)
         acc_ref[:] += jnp.dot(t.astype(jnp.bfloat16), xb,
                               preferred_element_type=jnp.float32)
         return 0
@@ -108,10 +110,11 @@ def _bwd_dx_kernel(bw2_ref, x_ref, q_ref, g_ref, c_ref, s_ref, out_ref,
         si = s_ref[pl.ds(r * row_tile, row_tile), :]
         simT = jnp.dot(xb, qi.T, preferred_element_type=jnp.float32)
         expo = (simT - 1.0) * inv_bw2                       # [C, T]
-        K_T = jnp.exp(jnp.maximum(expo, _CLAMP))
+        K_T = jnp.exp(jnp.clip(expo, _CLAMP_LO, _CLAMP_HI))
         gXT = jnp.dot(xb, gi.T, preferred_element_type=jnp.float32)
         dK_T = (gXT - ci[:, 0][None, :]) / si[:, 0][None, :]
-        t_T = jnp.where(expo > _CLAMP, K_T * dK_T * inv_bw2, 0.0)
+        t_T = jnp.where((expo > _CLAMP_LO) & (expo < _CLAMP_HI),
+                        K_T * dK_T * inv_bw2, 0.0)
         acc_ref[:] += jnp.dot(t_T.astype(jnp.bfloat16), qi,
                               preferred_element_type=jnp.float32)
         acc_ref[:] += jnp.dot((K_T / si[:, 0][None, :]).astype(
@@ -227,7 +230,7 @@ def _pallas_bwd(q, X, bw2, m, s, g, interpret=False):
 def _ref_step(q, X, bw2):
     """jnp reference of the same update (fallback + oracle for tests)."""
     sim = jnp.matmul(q, X.T, preferred_element_type=jnp.float32)
-    expo = jnp.maximum((sim - 1.0) / bw2, _CLAMP)
+    expo = jnp.clip((sim - 1.0) / bw2, _CLAMP_LO, _CLAMP_HI)
     K = jnp.exp(expo)
     s = jnp.sum(K, axis=1, keepdims=True)
     return jnp.matmul(K, X, preferred_element_type=jnp.float32) / s
@@ -259,6 +262,11 @@ mean_shift_step_pallas.defvjp(_fwd, _bwd)
 
 
 def supports_pallas(N: int, D: int) -> bool:
-    """Shape-alignment gate for the fused kernels."""
+    """Shape-alignment gate for the fused kernels.
+
+    The upper bound keeps the full-array VMEM residents (X forward;
+    q + g in the dX backward) within the ~16 MB v5e budget.
+    """
     T, C = _tiles(N)
-    return D % 128 == 0 and N % T == 0 and N % C == 0 and N >= 256
+    return D % 128 == 0 and N % T == 0 and N % C == 0 \
+        and 256 <= N <= 4096

@@ -120,3 +120,15 @@ class TestOBBSanity:
                                 jnp.ones((5000, 1), jnp.float32))
         got = np.sort(np.asarray(params.r[0]))[::-1]
         np.testing.assert_allclose(got, abc, rtol=0.05)
+
+
+class TestZeroValidGuards:
+    def test_v4_zero_valid_is_zero(self):
+        p = PrimitiveParams(
+            r=jnp.ones((1, 3, 3)),
+            V=jnp.broadcast_to(jnp.eye(3), (1, 3, 3, 3)),
+            center=jnp.zeros((1, 3, 3)),
+            valid=jnp.zeros((1, 3), bool))
+        q = jnp.zeros((1, 32, 3))
+        v = float(intersection_loss_v4(p, q))
+        assert v == 0.0 and np.isfinite(v)

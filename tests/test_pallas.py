@@ -77,3 +77,18 @@ class TestPallasBandwidth:
         got = kth_nn_distance_pallas(X, (13, 26), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+
+
+class TestGuardExpParity:
+    def test_tiny_bandwidth_no_nan(self, rng):
+        """Collapsed embeddings + floored bandwidth (bw2 ~ 1e-6) must not
+        overflow: guard_exp clips the exponent on BOTH sides."""
+        import jax
+        N, D = 256, 128
+        X = jnp.ones((N, D)) / jnp.sqrt(float(D))  # identical embeddings
+        bw2 = jnp.float32(1e-6)
+        out = mean_shift_step_pallas(X, X, bw2, True)
+        assert np.all(np.isfinite(np.asarray(out)))
+        g = jax.grad(lambda x: jnp.sum(
+            mean_shift_step_pallas(x, x, bw2, True) ** 2))(X)
+        assert np.all(np.isfinite(np.asarray(g)))
