@@ -132,6 +132,7 @@ def main(args):
         include_pruning=args.include_pruning, quantile=args.quantile,
         msc_iterations=args.msc_iterations,
         max_num_clusters=args.max_num_clusters,
+        num_bandwidth_candidates=args.num_bandwidth_candidates,
         n_per_prim=args.n_per_prim, alpha=args.alpha)
     ss_step = make_selfsup_step(model, **convex_flags)
 

@@ -241,15 +241,10 @@ def main(args):
                    jax.tree_util.tree_leaves(state.params))
     log(f"Model {args.model}: {n_params / 1e6:.2f}M params")
 
+    # resume and warm-start are mutually exclusive like the reference
+    # (train:263-280): a warm-started run begins at epoch 0; auto-resume
+    # picks up an interrupted run from its last checkpoint
     start_epoch = 0
-    try:
-        state, start_epoch = restore_checkpoint(ckpt_dir, "best_model",
-                                                state)
-        log(f"Resumed from epoch {start_epoch}")
-        start_epoch += 1
-    except FileNotFoundError:
-        log("No existing model, starting training from scratch...")
-
     if args.pretrained_model is not None:
         d, n = osp.split(args.pretrained_model)
         state = restore_params_only(d, n, state)
@@ -257,6 +252,14 @@ def main(args):
         if args.init_cls:
             state = train_init_class(state, model, mod, train_loader,
                                      args, log)
+    else:
+        try:
+            state, start_epoch = restore_checkpoint(ckpt_dir, "last_model",
+                                                    state)
+            log(f"Resumed from epoch {start_epoch}")
+            start_epoch += 1
+        except FileNotFoundError:
+            log("No existing model, starting training from scratch...")
 
     # ---------------------------------------------------------- steps
     mesh = make_data_mesh(args.batch_size)
@@ -284,12 +287,14 @@ def main(args):
             include_pruning=args.include_pruning,
             quantile=args.quantile, msc_iterations=args.msc_iterations,
             max_num_clusters=args.max_num_clusters,
+            num_bandwidth_candidates=args.num_bandwidth_candidates,
             n_per_prim=args.n_per_prim, alpha=args.alpha)
 
     base_key = jax.random.PRNGKey(args.seed)
     best_metrics = {"best_class_avg_miou": 0.0, "best_acc": 0.0,
                     "best_epoch": 0, "best_instance_avg_miou": 0.0,
                     "best_chamfer_loss": float("inf")}
+    eval_cache = {}
 
     # ---------------------------------------------------------- epochs
     for epoch in range(start_epoch, args.epoch):
@@ -342,12 +347,17 @@ def main(args):
                 else:
                     ss_points, ss_cls, ss_seg = ss
                 ss_points = augment_sup(ss_points, rng)
+                enc_pts = ss_points[:, :, :3]
+                if args.normal:
+                    # self-sup data has no normals: zero-pad (train:430)
+                    enc_pts = np.concatenate(
+                        [enc_pts, np.zeros_like(enc_pts)], -1)
                 cls_zero = jnp.zeros((ss_points.shape[0],
                                       args.num_classes))
                 key = jax.random.fold_in(base_key,
                                          epoch * 1000003 + i * 2 + 1)
                 state, m = contrastive_step(
-                    state, jnp.asarray(ss_points[:, :, :3]), cls_zero,
+                    state, jnp.asarray(enc_pts), cls_zero,
                     jnp.asarray(ss_seg.astype(np.int32)), lr, momentum,
                     lmbda, key)
                 ss_losses.append(m["ss_loss"])
@@ -357,16 +367,23 @@ def main(args):
                 except StopIteration:
                     selfsup_iter = iter(selfsup_loader)
                     ss = next(selfsup_iter)
-                ss_points, chamfer_pts, ss_cls, _ = ss
+                if len(ss) == 4:
+                    ss_points, chamfer_pts, ss_cls, _ = ss
+                else:
+                    # "dummy" self-sup dataset has no full-res cloud; its
+                    # resampled points double as the chamfer target (the
+                    # reference crashes on this 3-tuple — latent breakage)
+                    ss_points, ss_cls, _ = ss
+                    chamfer_pts = ss_points
                 if args.fused_augment:
                     # augmentation + resample happen inside the jit; feed
                     # a correctly-shaped placeholder for the encoder input
                     enc_pts = chamfer_pts[:, :args.npoint, :]
                 else:
-                    ss_points = augment_sup(ss_points, rng)
                     chamfer_pts = augment_sup(chamfer_pts, rng)
                     # reference re-samples the encoder input from the
-                    # full-res cloud (train:441)
+                    # full-res cloud (train:441; the dataloader's own
+                    # ss_points are never fed to the model)
                     choice = rng.choice(chamfer_pts.shape[1], args.npoint,
                                         replace=False)
                     enc_pts = chamfer_pts[:, choice, :]
@@ -374,7 +391,7 @@ def main(args):
                     enc_pts = np.concatenate(
                         [enc_pts[:, :, :3],
                          np.zeros_like(enc_pts[:, :, :3])], -1)
-                cls_zero = jnp.zeros((ss_points.shape[0],
+                cls_zero = jnp.zeros((enc_pts.shape[0],
                                       args.num_classes))
                 batch = shard_batch(mesh, (
                     jnp.asarray(enc_pts),
@@ -396,7 +413,7 @@ def main(args):
 
         save_checkpoint(ckpt_dir, f"model_{epoch + 1:03d}", epoch=epoch,
                         state=state, extra={"train_acc": train_acc})
-        save_checkpoint(ckpt_dir, "best_model", epoch=epoch, state=state,
+        save_checkpoint(ckpt_dir, "last_model", epoch=epoch, state=state,
                         extra={"train_acc": train_acc})
         with open(metrics_path, "a") as f:
             f.write(json.dumps({
@@ -404,27 +421,54 @@ def main(args):
                 "bn_momentum": momentum, "lambda": lmbda}) + "\n")
 
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
+            prev_best = best_metrics["best_class_avg_miou"]
             run_evaluation(args, epoch, model, state, log,
-                           metrics=best_metrics)
+                           metrics=best_metrics, cache=eval_cache)
+            if best_metrics["best_class_avg_miou"] > prev_best:
+                # checkpoint the actual best-mIoU model
+                save_checkpoint(ckpt_dir, "best_model", epoch=epoch,
+                                state=state, extra={
+                                    "class_avg_miou":
+                                        best_metrics["best_class_avg_miou"]})
 
     # final evaluation (reference train:487)
     metrics = run_evaluation(args, args.epoch - 1, model, state, log,
-                             metrics=best_metrics)
+                             metrics=best_metrics, cache=eval_cache)
+    if not osp.exists(osp.join(ckpt_dir, "best_model")):
+        save_checkpoint(ckpt_dir, "best_model", epoch=args.epoch - 1,
+                        state=state, extra={
+                            "class_avg_miou": metrics["class_avg_iou"]})
     with open(metrics_path, "a") as f:
         f.write(json.dumps({"final_eval": metrics}) + "\n")
     return metrics
 
 
-def run_evaluation(args, epoch, model, state, log, metrics=None):
-    eval_ds = PartNormalDataset(
-        args.data_root, npoints=args.npoint, split=args.eval_split,
-        normal_channel=args.normal, rng=np.random.default_rng(args.seed))
-    eval_loader = DataLoader(eval_ds, args.batch_size, shuffle=False,
-                             drop_last=False)
-    log(f"The number of test data is: {len(eval_ds)}")
-    forward = make_eval_forward(model, state.variables())
-    return evaluation(forward, eval_loader, num_parts=args.num_parts,
-                      epoch=epoch, log=log, metrics=metrics)
+def run_evaluation(args, epoch, model, state, log, metrics=None,
+                   cache=None):
+    """Evaluate; dataset/loader/jitted forward are built once and cached
+    (``cache`` dict) — the forward takes variables as an ARGUMENT so
+    parameter updates between evaluations don't retrace."""
+    cache = cache if cache is not None else {}
+    if "loader" not in cache:
+        eval_ds = PartNormalDataset(
+            args.data_root, npoints=args.npoint, split=args.eval_split,
+            normal_channel=args.normal,
+            rng=np.random.default_rng(args.seed))
+        cache["loader"] = DataLoader(eval_ds, args.batch_size,
+                                     shuffle=False, drop_last=False)
+        log(f"The number of test data is: {len(eval_ds)}")
+
+        @jax.jit
+        def forward(variables, points, cls_onehot):
+            out = model.apply(variables, points, cls_onehot, train=False)
+            return out.seg_logits
+
+        cache["forward"] = forward
+    variables = state.variables()
+    return evaluation(
+        lambda p, c: cache["forward"](variables, p, c),
+        cache["loader"], num_parts=args.num_parts, epoch=epoch, log=log,
+        metrics=metrics)
 
 
 if __name__ == "__main__":

@@ -38,12 +38,13 @@ class get_model(nn.Module):
                  include_pruning: bool = False,
                  quantile: float = 0.01, msc_iterations: int = 5,
                  max_num_clusters: int = 25, n_per_prim: int = 400,
+                 num_bandwidth_candidates: int = 2,
                  alpha=1.0, evaluation: bool = False) -> SegOutput:
         """xyz [B, N, 3(+3)]; cls_label accepted for contract parity."""
         num_channels = 6 if self.normal_channel else 3
         embedding, seg = DGCNNGn(
             self.emb_size, num_channels, self.nn_nb, self.dilation,
-            name="dgcnn")(xyz, train)
+            num_seg=self.num_parts, name="dgcnn")(xyz, train)
 
         zero = jnp.zeros((), jnp.float32)
         total_loss, chamfer = zero, zero
@@ -54,6 +55,7 @@ class get_model(nn.Module):
                 xyz[..., :3], chamfer_points, embedding,
                 quantile=quantile, iterations=msc_iterations,
                 max_num_clusters=max_num_clusters, n_per_prim=n_per_prim,
+                num_bandwidth_candidates=num_bandwidth_candidates,
                 include_intersect_loss=include_intersect_loss,
                 include_entropy_loss=include_entropy_loss,
                 include_pruning=include_pruning,

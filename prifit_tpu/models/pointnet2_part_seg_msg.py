@@ -58,6 +58,7 @@ class get_model(nn.Module):
                  include_pruning: bool = False,
                  quantile: float = 0.01, msc_iterations: int = 5,
                  max_num_clusters: int = 25, n_per_prim: int = 400,
+                 num_bandwidth_candidates: int = 2,
                  alpha=1.0, evaluation: bool = False,
                  embed: bool = False) -> SegOutput:
         """xyz [B, N, 3(+3)] channel-last; cls_label [B, 16] one-hot."""
@@ -144,6 +145,7 @@ class get_model(nn.Module):
                 l0_xyz, chamfer_points, feat_embed,
                 quantile=quantile, iterations=msc_iterations,
                 max_num_clusters=max_num_clusters, n_per_prim=n_per_prim,
+                num_bandwidth_candidates=num_bandwidth_candidates,
                 include_intersect_loss=include_intersect_loss,
                 include_entropy_loss=include_entropy_loss,
                 include_pruning=include_pruning,

@@ -95,6 +95,7 @@ class DGCNNGn(nn.Module):
     num_channels: int = 3
     nn_nb: int = 80
     dilation: int = 1
+    num_seg: int = 3
 
     @nn.compact
     def __call__(self, points, train: bool = True):
@@ -112,6 +113,6 @@ class DGCNNGn(nn.Module):
         x = block(x, 512, 8)
         x_all = block(x, 256, 4)
         x = block(x_all, 256, 4)
-        seg = nn.Dense(3)(x)
+        seg = nn.Dense(self.num_seg)(x)
         embedding = nn.Dense(self.emb_size, use_bias=False)(x)
         return embedding, seg

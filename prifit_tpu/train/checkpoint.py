@@ -28,12 +28,17 @@ def save_checkpoint(directory: str, name: str, *, epoch: int, state,
     optimizer state.
     """
     path = osp.abspath(osp.join(directory, name))
+    # opt_state holds optax namedtuples whose restored dict form
+    # enumerates leaves in sorted-KEY order, not field order — store the
+    # leaves under zero-padded INDEX keys so restore-by-unflatten is
+    # immune to field naming
+    opt_leaves = jax.tree_util.tree_leaves(jax.device_get(state.opt_state))
     payload = {
         "epoch": np.asarray(epoch),
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "selfsup_state": jax.device_get(state.selfsup_state),
-        "opt_state": jax.device_get(state.opt_state),
+        "opt_state": {f"{i:05d}": l for i, l in enumerate(opt_leaves)},
         "step": jax.device_get(state.step),
     }
     if extra:
@@ -49,9 +54,9 @@ def restore_checkpoint(directory: str, name: str, state) -> tuple[Any, int]:
     mirror the reference's try/except resume, ``train:263-274``).
     """
     restored = _raw_restore(directory, name)
-    # opt_state holds registered pytree nodes (optax states); rebuild it
-    # from the stored leaves using the live structure as the template
-    opt_leaves = jax.tree_util.tree_leaves(restored["opt_state"])
+    # rebuild optax state from the index-keyed leaves (see save_checkpoint)
+    stored = restored["opt_state"]
+    opt_leaves = [stored[k] for k in sorted(stored)]
     opt_state = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(state.opt_state), opt_leaves)
     new_state = state.replace(

@@ -99,7 +99,13 @@ def make_selfsup_step(model, *, fused_augment: bool = False,
             n = points.shape[1]
             choice = jax.random.choice(
                 k_choice, chamfer_points.shape[1], (n,), replace=False)
-            points = chamfer_points[:, choice, :]
+            resampled = chamfer_points[:, choice, :3]
+            if points.shape[-1] > 3:
+                # normal-channel models get zero normals on self-sup data
+                # (matching the host path, reference train:430)
+                resampled = jnp.concatenate(
+                    [resampled, jnp.zeros_like(resampled)], axis=-1)
+            points = resampled
         rngs = _split_rngs(key, ("sampling", "dropout", "selfsup"))
 
         def compute(params):

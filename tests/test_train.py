@@ -415,3 +415,25 @@ class TestContrastivePath:
             "--learning_rate", "0.005"])
         metrics = main(args)
         assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
+
+
+class TestDummySelfSupPath:
+    def test_dummy_dataset_convex_training(self, tmp_path):
+        """--ss_dataset dummy yields 3-tuples; the convex branch must use
+        the resampled points as their own chamfer target (the reference
+        crashes on this combination — latent breakage)."""
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.train_partseg import main
+
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=8,
+                                   n_points=64)
+        args = parse_args([
+            "--model", "pointnet2_part_seg_msg", "--epoch", "1",
+            "--batch_size", "2", "--npoint", "48", "--k_shot", "2",
+            "--selfsup", "--ss_dataset", "dummy", "--data_root", sn,
+            "--quantile", "0.1", "--msc_iterations", "2",
+            "--max_num_clusters", "4", "--n_per_prim", "16",
+            "--experiment_root", str(tmp_path / "log"),
+            "--learning_rate", "0.005"])
+        metrics = main(args)
+        assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
