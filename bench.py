@@ -35,22 +35,19 @@ def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
-    from prifit_tpu.models import get_module
-    from prifit_tpu.train.state import create_train_state
+    from __graft_entry__ import _flagship
 
-    mod = get_module("pointnet2_part_seg_msg")
-    model = mod.get_model(num_parts=50)
+    # shared flagship construction (tiny init batch: parameter shapes are
+    # batch-independent, and a full-size init would double cold-compile)
+    _, model, state, _, _, _ = _flagship(
+        npoint=64, quantile=0.05, msc_iterations=10, max_num_clusters=25,
+        n_per_prim=256, batch=2)
     rng = np.random.default_rng(0)
     points = jnp.asarray(rng.normal(size=(BATCH, NPOINT, 3)), jnp.float32)
     cls = jnp.zeros((BATCH, 16), jnp.float32)
 
     kwargs = dict(include_convex_loss=True, quantile=0.05,
                   msc_iterations=10, max_num_clusters=25, n_per_prim=256)
-    state = create_train_state(
-        model, (points, cls),
-        dict(train=True, chamfer_points=points, include_convex_loss=True,
-             quantile=0.5, msc_iterations=1, max_num_clusters=2,
-             n_per_prim=4))
     variables = state.variables()
 
     @jax.jit

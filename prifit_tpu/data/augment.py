@@ -1,10 +1,11 @@
 """Random-augmentation combinator (rebuilds ``src/augment_utils.py``).
 
 The reference keeps an older duplicate of the provider functions plus an
-``Augment`` class that applies each enabled augmentation with probability
-0.3 (``src/augment_utils.py:6-127``).  The duplicates are NOT reproduced —
-the combinator composes the canonical ``prifit_tpu.data.provider``
-functions instead.
+``Augment`` class that applies each of {small perturbation rotation,
+jitter, shift(0.05), scale(0.8-1.2)} with probability 0.3
+(``src/augment_utils.py:114-127``; its duplicated augmentation functions
+are NOT reproduced — the combinator composes the canonical
+``prifit_tpu.data.provider`` functions with the reference's parameters).
 """
 
 import numpy as np
@@ -13,7 +14,12 @@ from prifit_tpu.data import provider
 
 
 class Augment:
-    """Apply each configured augmentation with probability ``p``."""
+    """Apply each configured augmentation with probability ``p``.
+
+    Defaults reproduce the reference class exactly: perturbation rotation
+    (sigma 0.06, clip 0.30 — augment_utils.py:47), jitter (0.01/0.05),
+    shift range 0.05, isotropic scale 0.8-1.2, each with p = 0.3.
+    """
 
     def __init__(self, p: float = 0.3, rotation: bool = True,
                  scale: bool = True, shift: bool = True,
@@ -24,21 +30,22 @@ class Augment:
         self.rng = rng if rng is not None else np.random.default_rng()
         self.ops = []
         if rotation:
-            self.ops.append(lambda x: provider.rotate_point_cloud(
+            self.ops.append(
+                lambda x: provider.rotate_perturbation_point_cloud(
+                    x, angle_sigma=0.06, angle_clip=0.30, rng=self.rng))
+        if jitter:
+            self.ops.append(lambda x: provider.jitter_point_cloud(
                 x, rng=self.rng))
+        if shift:
+            self.ops.append(lambda x: provider.shift_point_cloud(
+                x, shift_range=0.05, rng=self.rng))
         if scale:
             self.ops.append(lambda x: provider.random_scale_point_cloud(
-                x, rng=self.rng))
+                x, scale_low=0.8, scale_high=1.2, rng=self.rng))
         if anisotropic:
             self.ops.append(
                 lambda x: provider.random_anisotropic_scale_point_cloud(
                     x, rng=self.rng))
-        if shift:
-            self.ops.append(lambda x: provider.shift_point_cloud(
-                x, rng=self.rng))
-        if jitter:
-            self.ops.append(lambda x: provider.jitter_point_cloud(
-                x, rng=self.rng))
         if dropout:
             self.ops.append(lambda x: provider.random_point_dropout(
                 x, rng=self.rng))

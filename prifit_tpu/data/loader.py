@@ -27,9 +27,11 @@ def _resample(points: np.ndarray, n: int,
               rng: np.random.Generator) -> np.ndarray:
     if points.shape[0] == n:
         return points
-    if points.shape[0] > n:
-        return points[:n]
-    choice = rng.choice(points.shape[0], n, replace=True)
+    # subsample without replacement (unbiased; a prefix would permanently
+    # drop ordered tails, e.g. ACD files sorted by component), upsample
+    # with replacement
+    choice = rng.choice(points.shape[0], n,
+                        replace=points.shape[0] < n)
     return points[choice]
 
 

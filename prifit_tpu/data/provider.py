@@ -89,8 +89,9 @@ def rotate_point_cloud_y(batch_data, rng: np.random.Generator):
 
 
 def rotate_point_cloud_y_pi4(batch_data, rng: np.random.Generator):
-    """y rotation by a random multiple of pi/4 (``:108-127``)."""
-    angles = rng.integers(0, 8, size=batch_data.shape[0]) * (np.pi / 4.0)
+    """y rotation by a random NON-ZERO multiple of pi/4 (``:108-127``;
+    the reference draws randint(1, 8) — never the identity)."""
+    angles = rng.integers(1, 8, size=batch_data.shape[0]) * (np.pi / 4.0)
     R = _rot_y(angles)
     out = np.zeros_like(batch_data, dtype=np.float32)
     out[:, :, 0:3] = np.einsum("bnc,bcd->bnd", batch_data[:, :, 0:3], R)

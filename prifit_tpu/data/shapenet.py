@@ -163,6 +163,7 @@ class SelfSupPartNormalDataset(PartNormalDataset):
                                                     replace=False))
                          if len(fns) > k_shot else fns
                          for item, fns in self.meta.items()}
+        self.k_shot = k_shot
         self.datapath = [(item, fn) for item in self.cat
                          for fn in self.meta[item]]
         self.cache = {}

@@ -47,7 +47,12 @@ def _get_lib():
         if path is None:
             _LIB_FAILED = True
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # stale/incompatible committed binary: fall back to numpy
+            _LIB_FAILED = True
+            return None
         lib.parse_floats_file.restype = ctypes.c_long
         lib.parse_floats_file.argtypes = [
             ctypes.c_char_p,
@@ -69,8 +74,10 @@ def fast_loadtxt(path: str, ncols: int | None = None) -> np.ndarray:
     """
     lib = _get_lib()
     if lib is None:
-        return np.loadtxt(path, delimiter=_sniff_delim(path)).astype(
+        out = np.loadtxt(path, delimiter=_sniff_delim(path)).astype(
             np.float32)
+        # match the native path's guaranteed 2-D shape
+        return out.reshape(-1, ncols if ncols else _sniff_ncols(path))
 
     # generous first guess: file size / 4 bytes-per-value lower bound
     cap = max(os.path.getsize(path) // 2, 64)

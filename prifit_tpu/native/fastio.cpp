@@ -64,7 +64,7 @@ long parse_floats_file(const char* path, float* out, long max_vals) {
         if (q < end && *q == '.') {
             q++;
             long frac = 0;
-            while (q < end && *q >= '0' && *q <= '9' && fdig < 19) {
+            while (q < end && *q >= '0' && *q <= '9' && fdig < 18) {
                 frac = frac * 10 + (*q - '0');
                 q++; fdig++;
             }

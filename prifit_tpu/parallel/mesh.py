@@ -72,8 +72,9 @@ def maybe_initialize_distributed() -> bool:
     launchers (``jax.distributed.initialize`` auto-detects TPU pods; the
     env guard avoids touching single-chip axon sessions).
     """
+    flag = os.environ.get("PRIFIT_DISTRIBUTED", "").strip().lower()
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            int(os.environ.get("PRIFIT_DISTRIBUTED", "0")):
+            flag in ("1", "true", "yes", "on"):
         jax.distributed.initialize()
         return True
     return False
