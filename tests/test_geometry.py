@@ -381,3 +381,22 @@ class TestConvexLossPipeline:
         v2 = convex_loss(pts, pts, emb, quantile=0.05, max_num_clusters=8,
                          n_per_prim=64).total
         np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+
+
+class TestCuboidPipeline:
+    def test_cuboid_convex_loss_and_grad(self):
+        scene = create_synthetic_dataset(1, seed=13)
+        pts = jnp.asarray(scene.points)
+        emb = jnp.asarray(scene.weights[:1, :, :8]) + 0.1
+
+        def loss(e):
+            return convex_loss(pts, pts, e, quantile=0.05,
+                               max_num_clusters=8, n_per_prim=66,
+                               if_cuboid=True,
+                               include_intersect_loss=True,
+                               include_pruning=True).total
+
+        val, g = jax.value_and_grad(loss)(emb)
+        assert np.isfinite(float(val)) and float(val) > 0
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.abs(np.asarray(g)).max() > 0
