@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from prifit_tpu.ops.pairwise import square_distance
+from prifit_tpu.ops.pairwise import min_k, min_k_packed, square_distance
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -157,10 +157,13 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array,
     keys = jnp.where(sqrdists <= radius ** 2, arange[None, None, :], N)
     # smallest `nsample` keys == reference's sort()[:nsample]; when the
     # cloud has fewer than nsample points, pad with the first hit (the
-    # reference's empty-slot rule extends naturally)
+    # reference's empty-slot rule extends naturally).  Keys are distinct
+    # integers below N (ties only among the N-pads, which all collapse to
+    # `first`), so min_k's unspecified tie order cannot change the result;
+    # f32 keys are exact for N < 2^24.
     k = min(nsample, N)
-    neg_topk, _ = jax.lax.top_k(-keys, k)
-    group_idx = -neg_topk
+    key_vals, _ = min_k(keys.astype(jnp.float32), k)
+    group_idx = key_vals.astype(jnp.int32)
     first = group_idx[..., :1]
     if k < nsample:
         pad = jnp.broadcast_to(first, group_idx.shape[:-1] + (nsample - k,))
@@ -197,8 +200,7 @@ def ball_query_nearest_shared(radius_list, nsample_list, xyz: jax.Array,
     """
     d = square_distance(new_xyz, xyz, precision=jax.lax.Precision.HIGHEST)
     k_max = min(max(nsample_list), xyz.shape[1])
-    neg, idx = jax.lax.top_k(-d, k_max)
-    dists = -neg
+    dists, idx = min_k_packed(d, k_max)
     out = []
     for r, k in zip(radius_list, nsample_list):
         kk = min(k, k_max)

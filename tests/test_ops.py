@@ -170,3 +170,49 @@ def test_chamfer_gradient_flows(rng):
     g = jax.grad(lambda p: chamfer_distance(p, b))(a)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_min_k_cpu_fallback_exact(rng):
+    """Off-TPU min_k/min_k_packed must be the exact top_k path."""
+    from prifit_tpu.ops.pairwise import min_k, min_k_packed
+
+    d = rng.random((3, 17, 256)).astype(np.float32)
+    nv, ei = jax.lax.top_k(-jnp.asarray(d), 32)
+    for fn in (min_k, min_k_packed):
+        v, i = fn(jnp.asarray(d), 32)
+        np.testing.assert_array_equal(np.asarray(v), -np.asarray(nv))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+
+
+def test_min_k_packed_encoding_numpy_model():
+    """Numpy model of the TPU mantissa-packing: quantized-distance order
+    with ascending-index tie-break, decode recovers index and quantized
+    value (ops/pairwise.py::min_k_packed)."""
+    rng = np.random.default_rng(0)
+    N, k, bits = 2048, 128, 11
+    mask = (1 << bits) - 1
+    d = (rng.random(N).astype(np.float32) * 4.0)
+    d[100:110] = 0.0                      # exact-zero ties
+    d[200:210] = d[300]                   # duplicated values
+    di = d.view(np.int32)
+    packed = ((di & ~np.int32(mask)) | np.arange(N, dtype=np.int32)) \
+        + np.int32(1 << 23)
+    pf = packed.view(np.float32)
+    assert np.all(pf > 0)                 # exponent bump: no denormals
+    # float order == int order for positive floats
+    order_f = np.argsort(pf, kind="stable")
+    order_i = np.argsort(packed, kind="stable")
+    np.testing.assert_array_equal(order_f, order_i)
+    sel = np.sort(pf)[:k]
+    vi = sel.view(np.int32) - np.int32(1 << 23)
+    idx = vi & mask
+    vals = (vi & ~np.int32(mask)).view(np.float32)
+    # decoded values are the quantized distances of the decoded indices
+    np.testing.assert_array_equal(
+        vals, (d[idx].view(np.int32) & ~np.int32(mask)).view(np.float32))
+    # selection contains the true k smallest up to quantization ties
+    kth = np.sort(d)[k - 1]
+    assert np.all(d[idx] <= kth * (1 + 2.0 ** (bits - 23)) + 1e-12)
+    # zero-distance ties come out in ascending index order
+    zeros = idx[vals == 0.0]
+    np.testing.assert_array_equal(zeros, np.sort(zeros))
