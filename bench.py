@@ -73,7 +73,24 @@ def measure_tpu() -> float:
     t0 = time.time()
     v = float(np.asarray(many(points, cls)))
     dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
-    return BATCH / dt, compile_s
+
+    # the REAL training workload: self-sup convex step (fwd+bwd+opt) —
+    # regression-tracks the fused mean-shift backward and one-hot-matmul
+    # gather gradients, which the eval-mode headline cannot see
+    from prifit_tpu.train.steps import make_selfsup_step
+
+    ss_step = make_selfsup_step(
+        model, include_convex_loss=True, quantile=0.05, msc_iterations=10,
+        max_num_clusters=25, n_per_prim=256)
+    key = jax.random.PRNGKey(0)
+    st, m = ss_step(state, points, points, cls, 0.001, 0.1, 1.0, key)
+    assert np.isfinite(float(np.asarray(m["ss_loss"])))
+    t0 = time.time()
+    for _ in range(REPS):
+        st, m = ss_step(st, points, points, cls, 0.001, 0.1, 1.0, key)
+    _ = float(np.asarray(m["ss_loss"]))
+    ss_dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
+    return BATCH / dt, BATCH / ss_dt, compile_s
 
 
 def load_baseline() -> float | None:
@@ -86,7 +103,7 @@ def load_baseline() -> float | None:
 
 
 def main():
-    clouds_per_sec, compile_s = measure_tpu()
+    clouds_per_sec, train_clouds_per_sec, compile_s = measure_tpu()
     baseline = load_baseline()
     vs = clouds_per_sec / baseline if baseline else 0.0
     print(json.dumps({
@@ -96,6 +113,10 @@ def main():
         "value": round(clouds_per_sec, 3),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(vs, 2),
+        "selfsup_train_step_clouds_per_sec":
+            round(train_clouds_per_sec, 3),
+        "selfsup_train_step_ms":
+            round(1000.0 * BATCH / train_clouds_per_sec, 2),
     }))
 
 

@@ -105,6 +105,15 @@ def parse_args(argv=None):
              "step (one XLA program per step, zero host augmentation)")
     add("--eval_every", type=int, default=0,
         help="run evaluation every K epochs (0 = only at the end)")
+    add("--num_workers", type=int, default=4,
+        help="loader worker threads (the reference hard-codes "
+             "DataLoader(num_workers=4), train_partseg_shapenet.py:178); "
+             "0 = synchronous.  Batches are bit-identical either way")
+    add("--encoder_dtype", type=str, default="auto",
+        choices=["auto", "bf16", "f32"],
+        help="encoder MLP compute dtype: auto = bf16 on TPU, f32 "
+             "elsewhere (heads, BN stats and the convex-loss geometry "
+             "always run f32)")
     args = parser.parse_args(argv)
     if args.split is not None:
         args.train_split = args.split

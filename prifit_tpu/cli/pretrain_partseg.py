@@ -84,7 +84,7 @@ def main(args):
     train_loader = DataLoader(
         ss_train, args.batch_size, shuffle=True, seed=args.seed,
         chamfer_npoints=args.chamfer_npoints, process_index=proc_idx,
-        process_count=proc_cnt)
+        process_count=proc_cnt, num_workers=args.num_workers)
     val_loader = DataLoader(
         ss_val, args.batch_size, shuffle=False,
         chamfer_npoints=args.chamfer_npoints)
@@ -146,6 +146,9 @@ def main(args):
     base_key = jax.random.PRNGKey(args.seed)
     best_val = np.inf
     metrics_path = osp.join(exp_dir, "metrics.jsonl")
+    # tensorboard scalars (reference pretrain:126,363-368,402,425,456-457)
+    from prifit_tpu.utils.tblog import ScalarWriter
+    tb = ScalarWriter(exp_dir)
 
     for epoch in range(args.epoch):
         t0 = time.time()
@@ -169,7 +172,12 @@ def main(args):
             state, m = ss_step(state, batch[0], batch[1], batch[2],
                                lr, momentum, 1.0, key)
             losses.append(m["ss_loss"])
+            tb.scalar("selfsup_loss_iter", np.asarray(m["ss_loss"]),
+                      epoch * len(train_loader) + i + 1)
         train_loss = float(np.mean([np.asarray(l) for l in losses]))
+        tb.scalar("selfsup_loss_epoch", train_loss, epoch)
+        tb.scalar("train_lr", lr, epoch)
+        tb.scalar("train_bn_momentum", momentum, epoch)
 
         # per-epoch ACD-val loss (pretrain:377-402)
         val_losses = []
@@ -184,6 +192,7 @@ def main(args):
                                    cls_zero)
             val_losses.append(float(total))
         val_loss = float(np.mean(val_losses)) if val_losses else np.inf
+        tb.scalar("selfsup_loss_val", val_loss, epoch)
         log(f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s: "
             f"train loss {train_loss:.5f} val loss {val_loss:.5f}")
 
@@ -216,9 +225,12 @@ def main(args):
             log(f"ModelNet40 SVM probe: acc {probe['accuracy']:.4f} "
                 f"(C={probe['C']}, {time.time() - t0:.1f}s)")
             epoch_metrics["modelnet_svm_acc"] = probe["accuracy"]
+            tb.scalar("modelnet_val", probe["accuracy"], epoch)
 
         with open(metrics_path, "a") as f:
             f.write(json.dumps(epoch_metrics) + "\n")
+        tb.flush()
+    tb.close()
     return best_val
 
 

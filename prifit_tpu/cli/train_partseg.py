@@ -37,6 +37,7 @@ from prifit_tpu.data import (
     SelfSupPartNormalDataset,
     provider,
 )
+from prifit_tpu.data.loader import prefetch_to_device
 from prifit_tpu.eval.miou import evaluation, make_eval_forward
 from prifit_tpu.models import get_module, to_categorical
 from prifit_tpu.parallel import (
@@ -60,6 +61,7 @@ from prifit_tpu.train.steps import (
     make_selfsup_step,
     make_supervised_step,
 )
+from prifit_tpu.utils.tblog import ScalarWriter
 
 
 def setup_logger(name: str, logfile: str):
@@ -103,19 +105,23 @@ def build_model(args, mod):
                              normal_channel=args.normal,
                              nn_nb=args.dgcnn_k)
     kwargs = dict(normal_channel=args.normal)
+    dtype_kw = dict(compute_dtype=getattr(args, "encoder_dtype", "auto"))
     if args.model == "pointnet_part_seg":
         return mod.get_model(part_num=args.num_parts, **kwargs)
     if args.model == "pointnet2_part_seg_ssg":
-        return mod.get_model(num_classes=args.num_parts, **kwargs)
+        return mod.get_model(num_classes=args.num_parts, **dtype_kw,
+                             **kwargs)
     if args.model == "reconstruction":
         return mod.get_model(num_classes=args.num_parts, **kwargs)
     if args.model == "pretrain_pointnet2_part_seg_msg":
         return mod.get_model(num_parts=args.num_parts,
                              l2_norm=args.l2_norm,
-                             reconstruct=args.reconstruct, **kwargs)
+                             reconstruct=args.reconstruct, **dtype_kw,
+                             **kwargs)
     return mod.get_model(num_parts=args.num_parts, l2_norm=args.l2_norm,
                          reconstruct=args.reconstruct,
-                         extra_layers=args.extra_layers, **kwargs)
+                         extra_layers=args.extra_layers, **dtype_kw,
+                         **kwargs)
 
 
 def augment_sup(points, rng):
@@ -181,8 +187,9 @@ def main(args):
     log = setup_logger("train", osp.join(exp_dir, "train.log"))
     log(f"PARAMETERS: {vars(args)}")
     metrics_path = osp.join(exp_dir, "metrics.jsonl")
+    # tensorboard scalars next to the jsonl (reference train:170,477-480)
+    tb = ScalarWriter(exp_dir)
 
-    rng = np.random.default_rng(args.seed)
     proc_idx, proc_cnt = jax.process_index(), jax.process_count()
 
     # ---------------------------------------------------------- datasets
@@ -192,7 +199,8 @@ def main(args):
         rng=np.random.default_rng(args.seed))
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               seed=args.seed, process_index=proc_idx,
-                              process_count=proc_cnt)
+                              process_count=proc_cnt,
+                              num_workers=args.num_workers)
     log(f"The number of training data is: {len(train_ds)}")
 
     selfsup_loader = None
@@ -221,7 +229,7 @@ def main(args):
         selfsup_loader = DataLoader(
             ss_ds, args.batch_size, shuffle=True, seed=args.seed + 1,
             chamfer_npoints=chamfer_n, process_index=proc_idx,
-            process_count=proc_cnt)
+            process_count=proc_cnt, num_workers=args.num_workers)
 
     # ---------------------------------------------------------- model
     mod = get_module(args.model)
@@ -296,6 +304,93 @@ def main(args):
                     "best_chamfer_loss": float("inf")}
     eval_cache = {}
 
+    # --------------------------------------------- prefetched streams
+    # Host-side augmentation + H2D placement run in background threads,
+    # double-buffered ahead of the TPU step (prefetch_to_device).  Each
+    # stream owns its rng so augmentation order is deterministic within
+    # the stream regardless of the other stream's pace.
+    def cycle(loader):
+        while True:
+            yield from loader
+
+    def place(batch):
+        return shard_batch(mesh, batch)
+
+    def np_onehot(cls):
+        return np.eye(args.num_classes,
+                      dtype=np.float32)[np.asarray(cls).ravel()]
+
+    rng_sup = np.random.default_rng(args.seed + 17)
+
+    def sup_transform(batch):
+        points, cls, target = batch
+        pts = points if args.fused_augment else augment_sup(points, rng_sup)
+        cls_onehot = np_onehot(cls) if args.category else np.zeros(
+            (cls.shape[0], args.num_classes), np.float32)
+        return (np.ascontiguousarray(pts, np.float32), cls_onehot,
+                target.astype(np.int32))
+
+    sup_stream = prefetch_to_device(cycle(train_loader),
+                                    transform=sup_transform, place=place)
+
+    ss_stream = None
+    if contrastive_step is not None:
+        rng_ss = np.random.default_rng(args.seed + 31)
+
+        def contrastive_transform(ss):
+            ss_points = ss[0]
+            ss_seg = ss[-1]
+            ss_points = augment_sup(ss_points, rng_ss)
+            enc_pts = ss_points[:, :, :3]
+            if args.normal:
+                # self-sup data has no normals: zero-pad (train:430)
+                enc_pts = np.concatenate(
+                    [enc_pts, np.zeros_like(enc_pts)], -1)
+            cls_zero = np.zeros((ss_points.shape[0], args.num_classes),
+                                np.float32)
+            return (enc_pts.astype(np.float32), cls_zero,
+                    ss_seg.astype(np.int32))
+
+        ss_stream = prefetch_to_device(cycle(selfsup_loader),
+                                       transform=contrastive_transform,
+                                       place=place)
+    elif args.selfsup:
+        rng_ss = np.random.default_rng(args.seed + 31)
+
+        def selfsup_transform(ss):
+            if len(ss) == 4:
+                ss_points, chamfer_pts, ss_cls, _ = ss
+            else:
+                # "dummy" self-sup dataset has no full-res cloud; its
+                # resampled points double as the chamfer target (the
+                # reference crashes on this 3-tuple — latent breakage)
+                ss_points, ss_cls, _ = ss
+                chamfer_pts = ss_points
+            if args.fused_augment:
+                # augmentation + resample happen inside the jit; feed
+                # a correctly-shaped placeholder for the encoder input
+                enc_pts = chamfer_pts[:, :args.npoint, :]
+            else:
+                chamfer_pts = augment_sup(chamfer_pts, rng_ss)
+                # reference re-samples the encoder input from the
+                # full-res cloud (train:441; the dataloader's own
+                # ss_points are never fed to the model)
+                choice = rng_ss.choice(chamfer_pts.shape[1], args.npoint,
+                                       replace=False)
+                enc_pts = chamfer_pts[:, choice, :]
+            if args.normal:
+                enc_pts = np.concatenate(
+                    [enc_pts[:, :, :3],
+                     np.zeros_like(enc_pts[:, :, :3])], -1)
+            cls_zero = np.zeros((enc_pts.shape[0], args.num_classes),
+                                np.float32)
+            return (enc_pts.astype(np.float32),
+                    chamfer_pts[:, :, :3].astype(np.float32), cls_zero)
+
+        ss_stream = prefetch_to_device(cycle(selfsup_loader),
+                                       transform=selfsup_transform,
+                                       place=place)
+
     # ---------------------------------------------------------- epochs
     for epoch in range(start_epoch, args.epoch):
         t0 = time.time()
@@ -307,29 +402,14 @@ def main(args):
         log(f"Epoch {epoch + 1}/{args.epoch}: lr {lr:.6f} "
             f"bn-momentum {momentum:.4f} lambda {lmbda:.4f}")
 
-        train_iter = iter(train_loader)
-        selfsup_iter = iter(selfsup_loader) if args.selfsup else None
         num_iters = len(selfsup_loader) if args.selfsup \
             else len(train_loader)
         mean_correct, sup_losses, ss_losses = [], [], []
 
         for i in range(num_iters):
-            # ---------------- supervised step
-            try:
-                points, cls, target = next(train_iter)
-            except StopIteration:
-                train_iter = iter(train_loader)
-                points, cls, target = next(train_iter)
-            pts = points if args.fused_augment \
-                else augment_sup(points, rng)
-            if args.category:
-                cls_onehot = to_categorical(jnp.asarray(cls),
-                                            args.num_classes)
-            else:
-                cls_onehot = jnp.zeros((cls.shape[0], args.num_classes))
-            batch = shard_batch(mesh, (
-                jnp.asarray(pts), cls_onehot,
-                jnp.asarray(target.astype(np.int32))))
+            # ---------------- supervised step (batch pre-augmented and
+            # pre-placed by the sup_stream prefetcher)
+            batch = next(sup_stream)
             key = jax.random.fold_in(base_key, epoch * 1000003 + i * 2)
             state, m = sup_step(state, *batch, lr, momentum, key)
             mean_correct.append(m["acc"])
@@ -337,68 +417,18 @@ def main(args):
 
             # ---------------- self-supervised step
             if contrastive_step is not None:
-                try:
-                    ss = next(selfsup_iter)
-                except StopIteration:
-                    selfsup_iter = iter(selfsup_loader)
-                    ss = next(selfsup_iter)
-                if len(ss) == 4:
-                    ss_points, _, ss_cls, ss_seg = ss
-                else:
-                    ss_points, ss_cls, ss_seg = ss
-                ss_points = augment_sup(ss_points, rng)
-                enc_pts = ss_points[:, :, :3]
-                if args.normal:
-                    # self-sup data has no normals: zero-pad (train:430)
-                    enc_pts = np.concatenate(
-                        [enc_pts, np.zeros_like(enc_pts)], -1)
-                cls_zero = jnp.zeros((ss_points.shape[0],
-                                      args.num_classes))
+                enc_pts, cls_zero, ss_seg = next(ss_stream)
                 key = jax.random.fold_in(base_key,
                                          epoch * 1000003 + i * 2 + 1)
                 state, m = contrastive_step(
-                    state, jnp.asarray(enc_pts), cls_zero,
-                    jnp.asarray(ss_seg.astype(np.int32)), lr, momentum,
+                    state, enc_pts, cls_zero, ss_seg, lr, momentum,
                     lmbda, key)
                 ss_losses.append(m["ss_loss"])
             elif args.selfsup:
-                try:
-                    ss = next(selfsup_iter)
-                except StopIteration:
-                    selfsup_iter = iter(selfsup_loader)
-                    ss = next(selfsup_iter)
-                if len(ss) == 4:
-                    ss_points, chamfer_pts, ss_cls, _ = ss
-                else:
-                    # "dummy" self-sup dataset has no full-res cloud; its
-                    # resampled points double as the chamfer target (the
-                    # reference crashes on this 3-tuple — latent breakage)
-                    ss_points, ss_cls, _ = ss
-                    chamfer_pts = ss_points
-                if args.fused_augment:
-                    # augmentation + resample happen inside the jit; feed
-                    # a correctly-shaped placeholder for the encoder input
-                    enc_pts = chamfer_pts[:, :args.npoint, :]
-                else:
-                    chamfer_pts = augment_sup(chamfer_pts, rng)
-                    # reference re-samples the encoder input from the
-                    # full-res cloud (train:441; the dataloader's own
-                    # ss_points are never fed to the model)
-                    choice = rng.choice(chamfer_pts.shape[1], args.npoint,
-                                        replace=False)
-                    enc_pts = chamfer_pts[:, choice, :]
-                if args.normal:
-                    enc_pts = np.concatenate(
-                        [enc_pts[:, :, :3],
-                         np.zeros_like(enc_pts[:, :, :3])], -1)
-                cls_zero = jnp.zeros((enc_pts.shape[0],
-                                      args.num_classes))
-                batch = shard_batch(mesh, (
-                    jnp.asarray(enc_pts),
-                    jnp.asarray(chamfer_pts[:, :, :3]), cls_zero))
+                enc_pts, chamfer_pts, cls_zero = next(ss_stream)
                 key = jax.random.fold_in(base_key,
                                          epoch * 1000003 + i * 2 + 1)
-                state, m = ss_step(state, batch[0], batch[1], batch[2],
+                state, m = ss_step(state, enc_pts, chamfer_pts, cls_zero,
                                    lr, momentum, lmbda, key)
                 ss_losses.append(m["ss_loss"])
 
@@ -419,6 +449,17 @@ def main(args):
             f.write(json.dumps({
                 "epoch": epoch, "train_acc": train_acc, "lr": lr,
                 "bn_momentum": momentum, "lambda": lmbda}) + "\n")
+        # scalar names mirror the reference (train:477-480)
+        tb.scalar("train_acc", train_acc, epoch)
+        tb.scalar("train_lr", lr, epoch)
+        tb.scalar("train_bn_momentum", momentum, epoch)
+        tb.scalar("selfsup_lambda", lmbda, epoch)
+        tb.scalar("train_loss", np.mean(
+            [np.asarray(l) for l in sup_losses]), epoch)
+        if ss_losses:
+            tb.scalar("selfsup_loss", np.mean(
+                [np.asarray(l) for l in ss_losses]), epoch)
+        tb.flush()
 
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
             prev_best = best_metrics["best_class_avg_miou"]
@@ -440,6 +481,7 @@ def main(args):
                             "class_avg_miou": metrics["class_avg_iou"]})
     with open(metrics_path, "a") as f:
         f.write(json.dumps({"final_eval": metrics}) + "\n")
+    tb.close()
     return metrics
 
 

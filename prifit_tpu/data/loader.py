@@ -1,10 +1,18 @@
-"""Minimal batching loader with per-host sharding and device prefetch.
+"""Batching loader: worker threads, per-host sharding, device prefetch.
 
 Replaces ``torch.utils.data.DataLoader`` for the numpy datasets: shuffling,
-fixed-size collation and (for multi-host pods) deterministic sharding of
-the example stream by ``jax.process_index()`` over DCN, so each host feeds
-only its local devices (SURVEY.md §2.7 TPU translation of the reference's
-single-process DataParallel scatter).
+fixed-size collation, (for multi-host pods) deterministic sharding of the
+example stream by ``jax.process_index()`` over DCN, background worker
+threads that overlap file parsing/collation with TPU steps (the
+reference's ``num_workers=4``, ``train_partseg_shapenet.py:178``), and a
+:func:`prefetch_to_device` wrapper that double-buffers host->device
+transfers behind the running step.
+
+Determinism: item loading uses a per-``(seed, epoch, index)`` rng (see
+``_item_rng``) so batches are bit-identical for any ``num_workers`` —
+stronger than torch, whose worker processes consume distinct rng streams.
+Datasets opt in by exposing ``get(index, rng)``; plain ``dataset[i]``
+access is serialized under a lock as a fallback.
 
 Ragged full-resolution chamfer clouds (ACD 4-tuples) are collated to a
 fixed ``chamfer_npoints`` by resampling with replacement — the reference
@@ -12,7 +20,11 @@ relies on every ``.npy`` having the same resolution and then resamples
 2048 of the first 5000 on the fly (``train_partseg_shapenet.py:441``).
 """
 
-from typing import Iterator, Sequence
+import queue as queue_mod
+import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Sequence
 
 import numpy as np
 
@@ -40,20 +52,26 @@ class DataLoader:
 
     Args:
         dataset: indexable with ``__len__``; items are tuples of arrays.
+            If it exposes ``get(index, rng)``, item randomness comes from
+            a per-(seed, epoch, index) rng (deterministic under workers).
         batch_size: global per-host batch size.
-        shuffle: reshuffle each epoch with the loader's rng.
+        shuffle: reshuffle each epoch with an epoch-derived rng.
         drop_last: drop the trailing partial batch (default True — static
             shapes; the reference instead papers over DataParallel arity
             crashes with try/except, ``train_partseg_shapenet.py:386-389``).
         chamfer_npoints: fixed collation size for ragged element 1 of ACD
             4-tuples (None = items are already fixed-size).
         process_index/process_count: multi-host sharding of the stream.
+        num_workers: >0 loads/collates batches in background threads,
+            ``prefetch_batches`` ahead of the consumer (0 = synchronous,
+            same batches either way).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, seed: int = 0,
                  chamfer_npoints: int | None = None,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 num_workers: int = 0, prefetch_batches: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,9 +79,13 @@ class DataLoader:
         self.chamfer_npoints = chamfer_npoints
         self.process_index = process_index
         self.process_count = process_count
-        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
         self._seed = seed
         self._epoch = 0
+        self._ds_lock = threading.Lock()
+        # kept for backward compat with callers poking loader.rng
+        self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         n = len(shard_for_host(np.arange(len(self.dataset)),
@@ -72,18 +94,37 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _collate(self, items: Sequence[tuple]) -> tuple:
+    def _item_rng(self, epoch: int, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self._seed, epoch, index]))
+
+    def _get_item(self, index: int, epoch: int) -> tuple:
+        if hasattr(self.dataset, "get"):
+            return self.dataset.get(int(index),
+                                    rng=self._item_rng(epoch, int(index)))
+        with self._ds_lock:
+            return self.dataset[int(index)]
+
+    def _collate(self, items: Sequence[tuple],
+                 rng: np.random.Generator) -> tuple:
         cols = list(zip(*items))
         out = []
         for ci, col in enumerate(cols):
             col = list(col)
             if self.chamfer_npoints is not None and ci == 1:
-                col = [_resample(c, self.chamfer_npoints, self.rng)
+                col = [_resample(c, self.chamfer_npoints, rng)
                        for c in col]
             out.append(np.stack(col))
         return tuple(out)
 
-    def __iter__(self) -> Iterator[tuple]:
+    def _load_batch(self, batch_idx: np.ndarray, epoch: int) -> tuple:
+        items = [self._get_item(i, epoch) for i in batch_idx]
+        # collation rng keyed off the first index, offset past the item
+        # rng key space (SeedSequence keys must be non-negative)
+        rng = self._item_rng(epoch, (1 << 32) + int(batch_idx[0]))
+        return self._collate(items, rng)
+
+    def _batches(self) -> list[np.ndarray]:
         indices = np.arange(len(self.dataset))
         if self.shuffle:
             # epoch-dependent shuffle shared by all hosts (same seed), so
@@ -91,11 +132,85 @@ class DataLoader:
             epoch_rng = np.random.default_rng(
                 self._seed * 100003 + self._epoch)
             epoch_rng.shuffle(indices)
-        self._epoch += 1
         indices = shard_for_host(indices, self.process_index,
                                  self.process_count)
+        out = []
         for start in range(0, len(indices), self.batch_size):
             batch_idx = indices[start:start + self.batch_size]
-            if self.drop_last and len(batch_idx) < self.batch_size:
-                return
-            yield self._collate([self.dataset[int(i)] for i in batch_idx])
+            if len(batch_idx) < self.batch_size and self.drop_last:
+                break
+            out.append(batch_idx)
+        return out
+
+    def __iter__(self) -> Iterator[tuple]:
+        epoch = self._epoch
+        self._epoch += 1
+        batches = self._batches()
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._load_batch(b, epoch)
+            return
+
+        # ordered sliding window of futures: workers stay
+        # `num_workers + prefetch_batches` batches ahead of the consumer
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            window = self.num_workers + self.prefetch_batches
+            futures = deque(
+                pool.submit(self._load_batch, b, epoch)
+                for b in batches[:window])
+            nxt = window
+            while futures:
+                out = futures.popleft().result()
+                if nxt < len(batches):
+                    futures.append(
+                        pool.submit(self._load_batch, batches[nxt], epoch))
+                    nxt += 1
+                yield out
+
+
+_STOP = object()
+
+
+def prefetch_to_device(iterable: Iterable, size: int = 2,
+                       transform: Callable | None = None,
+                       place: Callable | None = None) -> Iterator:
+    """Run ``transform`` + device placement in a background thread,
+    ``size`` elements ahead of the consumer.
+
+    The TPU step then overlaps with host-side augmentation and the H2D
+    transfer of the NEXT batch (double buffering for ``size=2``).
+    ``transform`` runs in one thread, in stream order — host rng use
+    inside it stays sequential and deterministic.
+
+    Args:
+        iterable: source of host batches (e.g. a :class:`DataLoader`).
+        size: queue depth (2 = classic double buffering).
+        transform: optional host-side fn applied before the device put.
+        place: device placement fn (default ``jax.device_put``); pass
+            e.g. ``lambda b: shard_batch(mesh, b)`` for sharded batches.
+    """
+    import jax
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    put = jax.device_put if place is None else place
+
+    def produce():
+        try:
+            for item in iterable:
+                if transform is not None:
+                    item = transform(item)
+                q.put(put(item))
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put((_STOP, e))
+            return
+        q.put((_STOP, None))
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _STOP:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item

@@ -129,12 +129,19 @@ class PartNormalDataset:
             self.cache[index] = (point_set, cls, seg)
         return point_set, cls, seg
 
-    def __getitem__(self, index):
+    def get(self, index, rng: np.random.Generator | None = None):
+        """Item access with an explicit rng for the resample-with-
+        replacement, so DataLoader worker threads stay deterministic
+        (loader.py).  ``__getitem__`` uses the dataset's own rng."""
+        rng = self.rng if rng is None else rng
         point_set, cls, seg = self._load(index)
         point_set = point_set.copy()
         point_set[:, 0:3] = pc_normalize(point_set[:, 0:3])
-        choice = self.rng.choice(len(seg), self.npoints, replace=True)
+        choice = rng.choice(len(seg), self.npoints, replace=True)
         return point_set[choice, :], cls, seg[choice]
+
+    def __getitem__(self, index):
+        return self.get(index)
 
     def __len__(self):
         return len(self.datapath)
@@ -238,13 +245,18 @@ class ACDSelfSupDataset:
             self.cache[index] = (point_set, cls, seg)
         return point_set, cls, seg
 
-    def __getitem__(self, index):
+    def get(self, index, rng: np.random.Generator | None = None):
+        """See ``PartNormalDataset.get`` (worker-deterministic rng)."""
+        rng = self.rng if rng is None else rng
         point_set, cls, seg = self._load(index)
         point_set = point_set.copy()
         point_set[:, 0:3] = pc_normalize(point_set[:, 0:3])
-        choice = self.rng.choice(len(seg), self.npoints, replace=True)
+        choice = rng.choice(len(seg), self.npoints, replace=True)
         chamfer_points = point_set[:, :]
         return point_set[choice, :], chamfer_points, cls, seg[choice]
+
+    def __getitem__(self, index):
+        return self.get(index)
 
     def __len__(self):
         return len(self.datapath)
@@ -255,9 +267,13 @@ class MultiACDSelfSupDataset(ACDSelfSupDataset):
     chamfer points (``ShapeNetDataLoader.py:417-520``; unused by the
     reference entry points, kept for surface parity)."""
 
-    def __getitem__(self, index):
+    def get(self, index, rng: np.random.Generator | None = None):
+        rng = self.rng if rng is None else rng
         point_set, cls, seg = self._load(index)
         point_set = point_set.copy()
         point_set[:, 0:3] = pc_normalize(point_set[:, 0:3])
-        choice = self.rng.choice(len(seg), self.npoints, replace=True)
+        choice = rng.choice(len(seg), self.npoints, replace=True)
         return point_set[choice, :], cls, seg[choice]
+
+    def __getitem__(self, index):
+        return self.get(index)

@@ -47,6 +47,22 @@ class get_model(nn.Module):
     num_charts: int = 25
     num_points: int = 128
     axis_name: str | None = None
+    # encoder compute dtype: "auto" = bf16 on TPU, f32 elsewhere.  bf16
+    # halves activation bandwidth through the SA/FP MLP chains; BN stats
+    # and everything from the feat head on (seg logits, embedding,
+    # convex-loss geometry) stay f32.
+    compute_dtype: str = "auto"
+    # nearest-k-within-radius fused ball query (TPU-fast, documented
+    # semantics deviation) vs the reference's first-k-by-index
+    # query_ball_point (ops/sampling.py; A/B in STATUS.md)
+    fused_ball_query: bool = True
+
+    def _encoder_dtype(self):
+        if self.compute_dtype == "auto":
+            return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+        if self.compute_dtype in ("bf16", "bfloat16"):
+            return jnp.bfloat16
+        return None
 
     @nn.compact
     def __call__(self, xyz, cls_label, chamfer_points=None, *,
@@ -64,24 +80,29 @@ class get_model(nn.Module):
         """xyz [B, N, 3(+3)] channel-last; cls_label [B, 16] one-hot."""
         B, N, _ = xyz.shape
         an = self.axis_name
+        dt = self._encoder_dtype()
         l0_points = xyz
         l0_xyz = xyz[..., :3]
 
         l1_xyz, l1_points = SetAbstractionMsg(
             512, [0.1, 0.2, 0.4], [32, 64, 128],
-            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, name="sa1")(
-                l0_xyz, l0_points, train, bn_momentum)
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt,
+            fused=self.fused_ball_query, name="sa1")(l0_xyz, l0_points, train, bn_momentum)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.4, 0.8], [64, 128],
-            [[128, 128, 256], [128, 196, 256]], an, name="sa2")(
+            [[128, 128, 256], [128, 196, 256]], an, dtype=dt,
+            fused=self.fused_ball_query, name="sa2")(
                 l1_xyz, l1_points, train, bn_momentum)
         l3_xyz, l3_points = SetAbstraction(
             None, None, None, [256, 512, 1024], group_all=True,
-            axis_name=an, name="sa3")(l2_xyz, l2_points, train, bn_momentum)
+            axis_name=an, dtype=dt, name="sa3")(
+                l2_xyz, l2_points, train, bn_momentum)
 
-        l2_points = FeaturePropagation([256, 256], an, name="fp3")(
+        l2_points = FeaturePropagation([256, 256], an, dtype=dt,
+                                       name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, train, bn_momentum)
-        l1_points = FeaturePropagation([256, 128], an, name="fp2")(
+        l1_points = FeaturePropagation([256, 128], an, dtype=dt,
+                                       name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_points, train, bn_momentum)
 
         cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
@@ -90,6 +111,7 @@ class get_model(nn.Module):
         if self.extra_layers:
             l0_points_ = FeaturePropagation([], an, name="fp1")(
                 l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
+            l0_points_ = l0_points_.astype(jnp.float32)
             # reference quirk: the *_bn* layers here are 1x1 convs
             fp1_conv1_bn1 = nn.Dense(128, name="fp1_conv1_bn1")
             l0_points = nn.relu(nn.Dense(128, name="fp1_conv2_bn2")(
@@ -97,9 +119,13 @@ class get_model(nn.Module):
                     fp1_conv1_bn1(nn.Dense(128, name="fp1_conv1")(
                         l0_points_))))))
         else:
-            l0_points = FeaturePropagation([128, 128], an, name="fp1")(
+            l0_points = FeaturePropagation([128, 128], an, dtype=dt,
+                                           name="fp1")(
                 l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
 
+        # everything from the head on runs f32 (seg logits, embedding,
+        # convex-loss geometry)
+        l0_points = l0_points.astype(jnp.float32)
         feat = nn.relu(BatchNorm(axis_name=an, name="bn1")(
             nn.Dense(128, name="conv1")(l0_points),
             use_running_average=not train, momentum=bn_momentum))
@@ -166,8 +192,10 @@ class get_model(nn.Module):
         x = nn.Dense(self.num_parts, name="conv2")(x)
         x = jax.nn.log_softmax(x, axis=-1)
 
+        hidden = tuple(h.astype(jnp.float32)
+                       for h in (l1_points, l2_points, l3_points))
         return SegOutput(seg_logits=x,
-                         hidden=(l1_points, l2_points, l3_points),
+                         hidden=hidden,
                          feat=feat, total_loss=total_loss,
                          chamfer_loss=chamfer, convex=convex_out,
                          recon_points=recon)

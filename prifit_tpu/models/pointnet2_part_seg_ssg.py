@@ -19,34 +19,54 @@ class get_model(nn.Module):
     num_classes: int
     normal_channel: bool = False
     axis_name: str | None = None
+    compute_dtype: str = "auto"
+    # nearest-k-within-radius fused ball query (TPU-fast, documented
+    # semantics deviation) vs the reference's first-k-by-index
+    # query_ball_point (ops/sampling.py; A/B in STATUS.md)
+    fused_ball_query: bool = True   # see pointnet2_part_seg_msg.get_model
+
+    def _encoder_dtype(self):
+        if self.compute_dtype == "auto":
+            return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+        if self.compute_dtype in ("bf16", "bfloat16"):
+            return jnp.bfloat16
+        return None
 
     @nn.compact
     def __call__(self, xyz, cls_label, *, train: bool = True,
                  bn_momentum=0.1, **_unused) -> SegOutput:
         B, N, _ = xyz.shape
         an = self.axis_name
+        dt = self._encoder_dtype()
         l0_points = xyz
         l0_xyz = xyz[..., :3]
 
         l1_xyz, l1_points = SetAbstraction(
-            512, 0.2, 32, [64, 64, 128], axis_name=an, name="sa1")(
+            512, 0.2, 32, [64, 64, 128], axis_name=an, dtype=dt,
+            fused=self.fused_ball_query, name="sa1")(
                 l0_xyz, l0_points, train, bn_momentum)
         l2_xyz, l2_points = SetAbstraction(
-            128, 0.4, 64, [128, 128, 256], axis_name=an, name="sa2")(
+            128, 0.4, 64, [128, 128, 256], axis_name=an, dtype=dt,
+            fused=self.fused_ball_query, name="sa2")(
                 l1_xyz, l1_points, train, bn_momentum)
         l3_xyz, l3_points = SetAbstraction(
             None, None, None, [256, 512, 1024], group_all=True,
-            axis_name=an, name="sa3")(l2_xyz, l2_points, train, bn_momentum)
+            axis_name=an, dtype=dt, name="sa3")(
+                l2_xyz, l2_points, train, bn_momentum)
 
-        l2_points = FeaturePropagation([256, 256], an, name="fp3")(
+        l2_points = FeaturePropagation([256, 256], an, dtype=dt,
+                                       name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, train, bn_momentum)
-        l1_points = FeaturePropagation([256, 128], an, name="fp2")(
+        l1_points = FeaturePropagation([256, 128], an, dtype=dt,
+                                       name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_points, train, bn_momentum)
         cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
         skip = jnp.concatenate([cls_onehot, l0_xyz, l0_points], axis=-1)
-        l0_points = FeaturePropagation([128, 128, 128], an, name="fp1")(
+        l0_points = FeaturePropagation([128, 128, 128], an, dtype=dt,
+                                       name="fp1")(
             l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
 
+        l0_points = l0_points.astype(jnp.float32)
         feat = nn.relu(BatchNorm(axis_name=an, name="bn1")(
             nn.Dense(128, name="conv1")(l0_points),
             use_running_average=not train, momentum=bn_momentum))
@@ -55,7 +75,8 @@ class get_model(nn.Module):
         x = jax.nn.log_softmax(x, axis=-1)
 
         zero = jnp.zeros((), jnp.float32)
-        return SegOutput(seg_logits=x, hidden=l3_points, feat=feat,
+        return SegOutput(seg_logits=x,
+                         hidden=l3_points.astype(jnp.float32), feat=feat,
                          total_loss=zero, chamfer_loss=zero)
 
 

@@ -10,6 +10,12 @@ All modules take ``train: bool`` (static) and optional ``bn_momentum``.
 FPS uses the flax RNG collection ``"sampling"`` when training (the
 reference uses a random start point, ``pointnet_util.py:71``) and a
 deterministic start in eval.
+
+Compute dtype: every module takes ``dtype`` (None = f32).  bf16 halves
+activation bandwidth and VMEM on the MLP chains; BatchNorm keeps f32
+statistics either way (nn/norm.py) and the segmentation/embedding heads
+stay f32 (models/*).  The default TPU matmul already rounds operands to
+bf16, so bf16 activations change MLP numerics only at the elementwise ops.
 """
 
 from typing import Sequence
@@ -22,6 +28,7 @@ from prifit_tpu.nn.norm import BatchNorm
 from prifit_tpu.ops.sampling import (
     ball_query_nearest_shared,
     farthest_point_sample,
+    gather_neighbors,
     index_points,
     query_ball_point,
     sample_and_group_all,
@@ -33,11 +40,12 @@ class PointMLP(nn.Module):
     """Shared per-point MLP: [Dense -> BN -> ReLU] x len(features)."""
     features: Sequence[int]
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=0.1):
         for f in self.features:
-            x = nn.Dense(f)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
             x = BatchNorm(axis_name=self.axis_name)(
                 x, use_running_average=not train, momentum=bn_momentum)
             x = nn.relu(x)
@@ -45,24 +53,32 @@ class PointMLP(nn.Module):
 
 
 class GroupedFirstLayer(nn.Module):
-    """First grouped-MLP layer computed per-POINT, gathered after.
+    """First grouped-MLP layer with a width-aware gather.
 
-    TPU gathers run far below HBM roofline (~33 ms for a [24, 512, 128,
-    320] neighborhood gather on a v5e); gathering the grouped feature
-    tensor and then applying a 1x1 conv wastes both bandwidth and MXU
-    time.  The first layer is affine, so it decomposes:
+    The first layer is affine, so it decomposes around the neighborhood
+    gather:
 
         W [feat_j ; xyz_j - c_s] + b
-          = (W_f feat_j + W_x xyz_j + b)  [per point, N rows]
+          = (W_f feat_j + W_x xyz_j + b)  [per point or per neighbor]
             - W_x c_s                     [per query center, S rows]
 
-    Project all N points once (S*K/N ~ 32x fewer FLOPs), gather the
-    H-wide projections (narrower AND better-granularity rows than raw
-    C-wide features), then broadcast-subtract the center term.  BN stats
-    and outputs are bit-wise the same computation reordered.
+    and the gather (a one-hot MXU matmul on TPU, ``gather_neighbors``)
+    costs FLOPs proportional to the gathered WIDTH.  So gather whichever
+    side is narrower:
+
+      - raw inputs narrow (sa1: xyz only, width 3): gather the raw
+        neighborhood, project after — the projection runs on S*K rows but
+        the gather is ~free;
+      - raw inputs wide (sa2: 320-d features): project all N points to
+        ``features`` first, gather the projections (S*K/N ~ 32x fewer
+        projection FLOPs, reference-layout path).
+
+    Both orders are the same math with the same parameters; BN stats and
+    outputs match up to matmul rounding.
     """
     features: int
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz, points, new_xyz, idx, train: bool,
@@ -70,14 +86,30 @@ class GroupedFirstLayer(nn.Module):
         """xyz [B, N, 3]; points [B, N, D] or None; new_xyz [B, S, 3];
         idx [B, S, K] -> [B, S, K, features] (post-BN, post-ReLU)."""
         dense_xyz = nn.Dense(self.features, use_bias=False,
-                             name="dense_xyz")
-        pre = dense_xyz(xyz)
-        if points is not None:
-            pre = pre + nn.Dense(self.features, name="dense_feat")(points)
+                             dtype=self.dtype, name="dense_xyz")
+        d_in = 0 if points is None else points.shape[-1]
+
+        if 3 + d_in <= self.features:
+            # exact f32 raw-coordinate gather unless running bf16 anyway
+            prec = None if self.dtype == jnp.bfloat16 \
+                else jax.lax.Precision.HIGHEST
+            grouped = dense_xyz(gather_neighbors(xyz, idx, precision=prec))
+            if points is not None:
+                grouped = grouped + nn.Dense(
+                    self.features, dtype=self.dtype, name="dense_feat")(
+                        gather_neighbors(points, idx, precision=prec))
+            else:
+                grouped = grouped + self.param(
+                    "bias", nn.initializers.zeros, (self.features,))
         else:
-            pre = pre + self.param(
-                "bias", nn.initializers.zeros, (self.features,))
-        grouped = index_points(pre, idx)               # [B, S, K, H]
+            pre = dense_xyz(xyz)
+            if points is not None:
+                pre = pre + nn.Dense(self.features, dtype=self.dtype,
+                                     name="dense_feat")(points)
+            else:
+                pre = pre + self.param(
+                    "bias", nn.initializers.zeros, (self.features,))
+            grouped = gather_neighbors(pre, idx)           # [B, S, K, H]
         grouped = grouped - dense_xyz(new_xyz)[:, :, None, :]
         grouped = BatchNorm(axis_name=self.axis_name)(
             grouped, use_running_average=not train, momentum=bn_momentum)
@@ -97,6 +129,7 @@ class SetAbstraction(nn.Module):
     group_all: bool = False
     axis_name: str | None = None
     fused: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
@@ -104,7 +137,7 @@ class SetAbstraction(nn.Module):
         (new_xyz [B, S, 3], new_points [B, S, mlp[-1]])."""
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, points)
-            out = PointMLP(self.mlp, self.axis_name)(
+            out = PointMLP(self.mlp, self.axis_name, self.dtype)(
                 grouped, train, bn_momentum)
             return new_xyz, jnp.max(out, axis=2)
 
@@ -119,9 +152,9 @@ class SetAbstraction(nn.Module):
         if self.fused:
             (idx,) = ball_query_nearest_shared(
                 [self.radius], [self.nsample], xyz, new_xyz)
-            h = GroupedFirstLayer(self.mlp[0], self.axis_name)(
+            h = GroupedFirstLayer(self.mlp[0], self.axis_name, self.dtype)(
                 xyz, points, new_xyz, idx, train, bn_momentum)
-            out = PointMLP(self.mlp[1:], self.axis_name)(
+            out = PointMLP(self.mlp[1:], self.axis_name, self.dtype)(
                 h, train, bn_momentum)
         else:
             idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
@@ -131,7 +164,7 @@ class SetAbstraction(nn.Module):
                     [grouped_xyz, index_points(points, idx)], axis=-1)
             else:
                 grouped = grouped_xyz
-            out = PointMLP(self.mlp, self.axis_name)(
+            out = PointMLP(self.mlp, self.axis_name, self.dtype)(
                 grouped, train, bn_momentum)
         return new_xyz, jnp.max(out, axis=2)
 
@@ -149,6 +182,7 @@ class SetAbstractionMsg(nn.Module):
     mlp_list: Sequence[Sequence[int]]
     axis_name: str | None = None
     fused: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
@@ -162,14 +196,14 @@ class SetAbstractionMsg(nn.Module):
 
         outs = []
         if self.fused:
-            # one distance matrix + one top_k serves every radius, and the
-            # first grouped layer is applied per-point before the gather
+            # one distance matrix + one packed min_k serves every radius;
+            # per-radius neighbor lists are prefixes of the same sorted set
             idx_list = ball_query_nearest_shared(
                 self.radius_list, self.nsample_list, xyz, new_xyz)
             for idx, mlp in zip(idx_list, self.mlp_list):
-                h = GroupedFirstLayer(mlp[0], self.axis_name)(
+                h = GroupedFirstLayer(mlp[0], self.axis_name, self.dtype)(
                     xyz, points, new_xyz, idx, train, bn_momentum)
-                out = PointMLP(mlp[1:], self.axis_name)(
+                out = PointMLP(mlp[1:], self.axis_name, self.dtype)(
                     h, train, bn_momentum)
                 outs.append(jnp.max(out, axis=2))
             return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -183,7 +217,8 @@ class SetAbstractionMsg(nn.Module):
                     [index_points(points, idx), grouped_xyz], axis=-1)
             else:
                 grouped = grouped_xyz
-            out = PointMLP(mlp, self.axis_name)(grouped, train, bn_momentum)
+            out = PointMLP(mlp, self.axis_name, self.dtype)(
+                grouped, train, bn_momentum)
             outs.append(jnp.max(out, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -194,6 +229,7 @@ class FeaturePropagation(nn.Module):
     extra_layers fp1 variant)."""
     mlp: Sequence[int]
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, train: bool,
@@ -202,9 +238,11 @@ class FeaturePropagation(nn.Module):
         points1 [B, N, D1] skip or None, points2 [B, S, D2]."""
         interpolated = three_nn_interpolate(xyz1, xyz2, points2)
         if points1 is not None:
-            x = jnp.concatenate([points1, interpolated], axis=-1)
+            x = jnp.concatenate(
+                [points1, interpolated.astype(points1.dtype)], axis=-1)
         else:
             x = interpolated
         if self.mlp:
-            x = PointMLP(self.mlp, self.axis_name)(x, train, bn_momentum)
+            x = PointMLP(self.mlp, self.axis_name, self.dtype)(
+                x, train, bn_momentum)
         return x

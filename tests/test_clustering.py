@@ -230,3 +230,93 @@ class TestLazyClusterBatch:
                                       np.asarray(single.labels))
         np.testing.assert_allclose(np.asarray(batched.bandwidth),
                                    np.asarray(single.bandwidth), rtol=1e-6)
+
+
+class TestShardedRetry:
+    """The lax.cond retry branch under SPMD partitioning (VERDICT round-1
+    item 8): `need_retry = any(overflow)` becomes a cross-device
+    collective when the batch is sharded over the mesh."""
+
+    def _mixed_overflow_embeddings(self, rng, B=8, N=96, D=8, kmax=4):
+        """Even shapes: 3*kmax well-separated blobs (overflow the slot
+        budget at small quantile); odd shapes: 2 blobs (fit)."""
+        X = np.empty((B, N, D), np.float32)
+        for b in range(B):
+            g = 3 * kmax if b % 2 == 0 else 2
+            protos = rng.normal(size=(g, D)) * 4.0
+            assign = rng.integers(0, g, size=(N,))
+            X[b] = protos[assign] + 0.05 * rng.normal(size=(N, D))
+        X /= np.linalg.norm(X, axis=2, keepdims=True)
+        return jnp.asarray(X)
+
+    def test_sharded_cluster_batch_matches_unsharded(self, rng):
+        from prifit_tpu.clustering.mean_shift import (
+            _bandwidth_candidates,
+            cluster_batch,
+        )
+        from prifit_tpu.parallel import make_mesh, shard_batch
+
+        X = self._mixed_overflow_embeddings(rng)
+        kw = dict(quantile=0.03, iterations=3, max_num_clusters=4,
+                  num_candidates=2)
+
+        ref = cluster_batch(X, **kw)
+
+        # sanity: the retry genuinely fired for some shapes and not others
+        bws = np.asarray(jax.vmap(
+            lambda x: _bandwidth_candidates(x, 0.03, 2))(X))  # [B, 2]
+        # batched-vs-single bisection differs at ~1e-6, so classify by
+        # the nearer candidate rather than exact equality
+        picked_retry = (np.abs(np.asarray(ref.bandwidth) - bws[:, 1])
+                        < np.abs(np.asarray(ref.bandwidth) - bws[:, 0]))
+        assert picked_retry.any(), "retry branch never taken"
+        assert not picked_retry.all(), "first candidate never kept"
+
+        mesh = make_mesh(jax.devices()[:8])
+        Xs = shard_batch(mesh, X)
+        got = jax.jit(lambda x: cluster_batch(x, **kw))(Xs)
+
+        np.testing.assert_allclose(np.asarray(got.weights),
+                                   np.asarray(ref.weights), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(ref.valid))
+        np.testing.assert_array_equal(np.asarray(got.labels),
+                                      np.asarray(ref.labels))
+        np.testing.assert_allclose(np.asarray(got.bandwidth),
+                                   np.asarray(ref.bandwidth), rtol=1e-6)
+
+    def test_sharded_selfsup_step_with_retry_matches_single(self):
+        """Full convex self-sup train step, batch sharded over 8 devices,
+        with retry-inducing hyperparameters (tiny quantile, tiny slot
+        budget): loss equals the single-device run."""
+        from prifit_tpu.models import get_module
+        from prifit_tpu.parallel import make_mesh, shard_batch
+        from prifit_tpu.train.state import (
+            create_train_state,
+            selfsup_init_kwargs,
+        )
+        from prifit_tpu.train.steps import make_selfsup_step
+
+        mod = get_module("pointnet2_part_seg_msg")
+        model = mod.get_model(num_parts=8)
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.normal(size=(8, 64, 3)), jnp.float32)
+        cls = jnp.zeros((8, 16), jnp.float32)
+        state = create_train_state(model, (pts, cls),
+                                   selfsup_init_kwargs(pts))
+        step = make_selfsup_step(
+            model, include_convex_loss=True, quantile=0.02,
+            msc_iterations=2, max_num_clusters=2, n_per_prim=8,
+            num_bandwidth_candidates=2)
+        key = jax.random.PRNGKey(0)
+
+        _, m_single = step(state, pts, pts, cls, 0.001, 0.1, 1.0, key)
+
+        mesh = make_mesh(jax.devices()[:8])
+        b = shard_batch(mesh, (pts, pts, cls))
+        _, m_shard = step(state, b[0], b[1], b[2], 0.001, 0.1, 1.0, key)
+
+        single = float(np.asarray(m_single["ss_loss"]))
+        shard = float(np.asarray(m_shard["ss_loss"]))
+        assert np.isfinite(single)
+        np.testing.assert_allclose(shard, single, rtol=1e-4)

@@ -276,3 +276,82 @@ class TestS3DIS:
                                    mutable=["batch_stats"])
         loss = mod.get_loss(logp, jnp.asarray(seg[None].astype(np.int32)))
         assert np.isfinite(float(loss))
+
+
+class TestAsyncLoader:
+    def test_worker_determinism(self, shapenet_root):
+        """Batches are bit-identical for any num_workers (per-(seed,
+        epoch, index) item rng — stronger than torch's worker streams)."""
+        def batches(workers):
+            ds = PartNormalDataset(shapenet_root, npoints=32,
+                                   rng=np.random.default_rng(0))
+            dl = DataLoader(ds, batch_size=4, shuffle=True, seed=7,
+                            num_workers=workers)
+            return [list(dl) for _ in range(2)]  # two epochs
+
+        ref = batches(0)
+        for workers in (2, 4):
+            got = batches(workers)
+            for ep_ref, ep_got in zip(ref, got):
+                assert len(ep_ref) == len(ep_got)
+                for br, bg in zip(ep_ref, ep_got):
+                    for ar, ag in zip(br, bg):
+                        np.testing.assert_array_equal(ar, ag)
+
+    def test_acd_worker_determinism(self, acd_root):
+        """Chamfer collation resampling is deterministic under workers."""
+        def batches(workers):
+            ds = ACDSelfSupDataset(acd_root, npoints=32,
+                                   rng=np.random.default_rng(0))
+            dl = DataLoader(ds, batch_size=2, chamfer_npoints=64,
+                            shuffle=True, seed=3, num_workers=workers)
+            return list(dl)
+
+        for br, bg in zip(batches(0), batches(3)):
+            for ar, ag in zip(br, bg):
+                np.testing.assert_array_equal(ar, ag)
+
+    def test_workers_overlap_loading(self):
+        """With a slow dataset and a slow consumer, worker threads hide
+        the load time: wall clock ~ max(load, consume) per batch, not
+        the sum (VERDICT round-1 item 4's 'overlap' criterion)."""
+        import time as _time
+
+        class SlowDataset:
+            def __len__(self):
+                return 16
+
+            def get(self, index, rng=None):
+                _time.sleep(0.02)
+                return (np.full((4, 3), index, np.float32),)
+
+        dl = DataLoader(SlowDataset(), batch_size=2, num_workers=4,
+                        prefetch_batches=4)
+        # warm-up epoch (thread pool spin-up)
+        list(dl)
+        t0 = _time.perf_counter()
+        seen = []
+        for (batch,) in dl:
+            _time.sleep(0.04)          # simulated TPU step
+            seen.append(batch[0, 0, 0])
+        wall = _time.perf_counter() - t0
+        # sync cost would be 8 * (2*0.02 + 0.04) = 0.64s; overlapped is
+        # ~8 * 0.04 = 0.32s. Allow generous slack for CI jitter.
+        assert wall < 0.55, f"no load/compute overlap: {wall:.3f}s"
+        assert seen == sorted(seen)    # order preserved
+
+    def test_prefetch_to_device_order_and_errors(self):
+        from prifit_tpu.data.loader import prefetch_to_device
+
+        out = list(prefetch_to_device(iter([1, 2, 3]), size=2,
+                                      transform=lambda x: x * 10))
+        assert [int(np.asarray(o)) for o in out] == [10, 20, 30]
+
+        def bad():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(bad(), size=2)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)

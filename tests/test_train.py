@@ -437,3 +437,47 @@ class TestDummySelfSupPath:
             "--learning_rate", "0.005"])
         metrics = main(args)
         assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
+
+
+class TestBf16Encoder:
+    def test_overfits_single_batch_bf16(self):
+        """Forced bf16 encoder compute (the TPU default, CLAUDE.md perf
+        ledger) still optimizes: same overfit harness as
+        TestLearning with compute_dtype='bf16'."""
+        mod = get_module("pointnet2_part_seg_ssg")
+        model = mod.get_model(num_classes=4, compute_dtype="bf16")
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = to_categorical(jnp.zeros((2, 1), jnp.int32))
+        target = jnp.asarray(
+            (np.asarray(pts[..., 0]) > 0).astype(np.int32)
+            + 2 * (np.asarray(pts[..., 1]) > 0).astype(np.int32))
+        state = create_train_state(model, (pts, cls), dict(train=True))
+        step = make_supervised_step(model, mod.get_loss)
+        for i in range(30):
+            state, m = step(state, pts, cls, target, 0.01, 0.1,
+                            jax.random.PRNGKey(0))
+        assert float(m["acc"]) > 0.9
+        # params and seg logits stay f32 (heads + optimizer state)
+        assert state.params["conv2"]["kernel"].dtype == jnp.float32
+
+    def test_bf16_forward_close_to_f32(self):
+        """bf16 vs f32 encoder on identical params: log-prob outputs agree
+        to bf16 tolerance (the two paths share parameter shapes/names)."""
+        mod = get_module("pointnet2_part_seg_msg")
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = to_categorical(jnp.zeros((2, 1), jnp.int32))
+        m32 = mod.get_model(num_parts=8, compute_dtype="f32")
+        m16 = mod.get_model(num_parts=8, compute_dtype="bf16")
+        variables = m32.init(
+            dict(params=jax.random.PRNGKey(0),
+                 sampling=jax.random.PRNGKey(1),
+                 dropout=jax.random.PRNGKey(2)),
+            pts, cls, train=False)
+        out32 = m32.apply(variables, pts, cls, train=False)
+        out16 = m16.apply(variables, pts, cls, train=False)
+        p32 = np.exp(np.asarray(out32.seg_logits))
+        p16 = np.exp(np.asarray(out16.seg_logits))
+        assert out16.seg_logits.dtype == jnp.float32
+        np.testing.assert_allclose(p16, p32, atol=0.05)

@@ -172,3 +172,39 @@ class TestEvalUtils:
         # c0: 1.0, c1: 1/2, c2: ~0, c3: ~1 (eps/eps)
         v = mean_IOU_one_sample(pred, gt, 4)
         assert v == pytest.approx((1.0 + 0.5 + 0.0 + 1.0) / 4, abs=1e-5)
+
+
+class TestTensorboardScalars:
+    def test_scalar_writer_events_readable(self, tmp_path):
+        """ScalarWriter writes standard TensorBoard event files with the
+        reference's scalar names (train:477-480)."""
+        from prifit_tpu.utils.tblog import ScalarWriter
+
+        d = str(tmp_path)
+        w = ScalarWriter(d)
+        for e in range(3):
+            w.scalar("train_acc", 0.5 + 0.1 * e, e)
+            w.scalar("train_lr", 0.01, e)
+        w.close()
+
+        import glob
+        files = glob.glob(d + "/events.out.tfevents.*")
+        assert files, "no event files written"
+
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+        acc = EventAccumulator(d)
+        acc.Reload()
+        tags = set(acc.Tags()["scalars"])
+        assert {"train_acc", "train_lr"} <= tags
+        vals = [s.value for s in acc.Scalars("train_acc")]
+        assert len(vals) == 3 and abs(vals[-1] - 0.7) < 1e-6
+
+    def test_scalar_writer_none_logdir_noop(self):
+        from prifit_tpu.utils.tblog import ScalarWriter
+
+        w = ScalarWriter(None)
+        w.scalar("x", 1.0, 0)   # must not raise
+        w.flush()
+        w.close()
