@@ -33,7 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_TILE = 512
+# tile sweep on v5e at [24 x 2048 x 128], 5-iter fwd+bwd scan:
+# (512,1024) 1.84 ms/iter, (256,2048) 1.59, (128,2048) 1.48,
+# (256,1024) 1.26 <- picked; >=512-row tiles with 2048 cols fail to
+# compile (VMEM)
+_ROW_TILE = 256
 _COL_TILE = 1024
 _CLAMP_LO = -13.0
 _CLAMP_HI = 75.0  # guard_exp clips both sides (src/guard.py)
