@@ -29,12 +29,19 @@ def _min_sqdist_chunked(src: jax.Array, dst: jax.Array,
     """
     N = src.shape[0]
     if N % chunk != 0:
-        chunk = N  # fall back to one chunk for odd sizes (tests)
+        # largest divisor of N that fits the budget (e.g. the primitive
+        # sample count 25*256=6400 -> 800); N itself only as a last resort
+        chunk = max((c for c in range(1, chunk + 1) if N % c == 0),
+                    default=N)
     n_chunks = N // chunk
     src_c = src.reshape(n_chunks, chunk, src.shape[-1])
 
     big = jnp.float32(1e10)
 
+    # remat: jnp.min's VJP would otherwise keep every [chunk, M] distance
+    # block alive as scan residuals (the full N x M matrix in HBM);
+    # recomputing the block matmul in the backward is far cheaper
+    @jax.checkpoint
     def one(s):
         d = square_distance(s, dst)                         # [chunk, M]
         if dst_mask is not None:
