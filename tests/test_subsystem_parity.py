@@ -513,3 +513,73 @@ class TestFittingParity:
         scale_p = max(np.abs(ref_gp).max(), 1e-6)
         np.testing.assert_allclose(np.asarray(got_gp), ref_gp,
                                    atol=2e-3 * scale_p)
+
+
+class TestOrchestratorParity:
+    """End-to-end `convex_loss` orchestrator oracle (convex_loss.py:27-103)
+    in evaluation mode — the one configuration that exercises the
+    reference's full normalize -> entropy -> clustering -> fitting
+    composition without its trimesh-only sampling stage (patched to
+    return no samples; `evaluation=True` zeroes the chamfer term exactly
+    as the reference does at :84-94)."""
+
+    def test_eval_mode_total_and_params(self, rng, monkeypatch):
+        B, N, D, G = 2, 128, 16, 4
+        protos = rng.normal(size=(B, G, D))
+        assign = rng.integers(0, G, size=(B, N))
+        X = (protos[np.arange(B)[:, None], assign]
+             + 0.15 * rng.normal(size=(B, N, D))).astype(np.float32)
+        pts = rng.normal(scale=2.0, size=(B, N, 3)).astype(np.float32)
+        beta = 0.7
+
+        # deterministic N/4 entropy subsample: every 4th point, matching
+        # our key=None path (geometry/convex_loss.py:94)
+        monkeypatch.setattr(
+            np.random, "choice",
+            lambda a, size, replace=True: np.arange(0, a, 4)[:size])
+        monkeypatch.setattr(torch, "rand", lambda *a, **k: torch.zeros(*a))
+        monkeypatch.setattr(ref_cl, "sample_from_pred_params",
+                            lambda params, n, **k: [-1] * len(params))
+
+        with torch.no_grad():
+            ref_total, ref_l, ref_params, ref_labels = ref_cl.convex_loss(
+                torch.tensor(np.swapaxes(pts, 1, 2)),     # [B, 3, N]
+                torch.tensor(np.swapaxes(pts, 1, 2)),
+                torch.tensor(np.swapaxes(X, 1, 2)),       # [B, D, N]
+                quantile=0.1, iterations=5, max_num_clusters=25,
+                include_entropy_loss=True, beta=beta, evaluation=True)
+
+        from prifit_tpu.geometry.convex_loss import convex_loss
+
+        out = convex_loss(jnp.asarray(pts), jnp.asarray(pts),
+                          jnp.asarray(X), quantile=0.1, iterations=5,
+                          max_num_clusters=25, n_per_prim=8,
+                          include_entropy_loss=True, beta=beta,
+                          evaluation=True, key=None)
+
+        assert float(out.chamfer) == 0.0 and float(ref_l) == 0.0
+        np.testing.assert_allclose(float(out.total), float(ref_total),
+                                   rtol=1e-4, atol=1e-6)
+
+        # fitted primitives agree end-to-end through the orchestrator
+        # (up to the representative tie-break column permutation)
+        weights = np.asarray(out.clusters.weights)
+        for b in range(B):
+            valid = np.asarray(out.clusters.valid[b])
+            fit_valid = np.flatnonzero(np.asarray(out.params.valid[b]))
+            assert len(ref_params[b]) == len(fit_valid)
+            # match our slots to reference clusters via fitted centers
+            ref_centers = np.stack([p[2].numpy() for p in ref_params[b]])
+            ours_centers = np.asarray(out.params.center[b])[fit_valid]
+            d = np.linalg.norm(ours_centers[:, None] - ref_centers[None],
+                               axis=-1)
+            perm = np.argmin(d, axis=0)
+            assert len(set(perm.tolist())) == len(perm)
+            for j, (s_ref, v_ref, c_ref) in enumerate(ref_params[b]):
+                k = fit_valid[perm[j]]
+                np.testing.assert_allclose(
+                    np.asarray(out.params.r[b, k]), s_ref.numpy(),
+                    atol=2e-3)
+                np.testing.assert_allclose(
+                    np.asarray(out.params.center[b, k]), c_ref.numpy(),
+                    atol=2e-3)
