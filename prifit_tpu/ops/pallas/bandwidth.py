@@ -18,7 +18,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_TILE = 256
+# tile sweep on v5e at [24 x 2048 x 128], Ks=(102, 204): T=256 3.65 ms,
+# T=512 3.09 <- picked, T=1024 4.14, T=2048 8.53
+_ROW_TILE = 512
 _ITERS = 24
 
 
