@@ -1,0 +1,139 @@
+"""Primitive-structured synthetic ShapeNet-Part + ACD datasets.
+
+Each shape is a union of ellipsoid surfaces; the part label of a point is
+the ellipsoid it was sampled from.  This is exactly the PRIFIT hypothesis
+(parts are well approximated by fitted primitives), so few-shot
+segmentation on this data is the strongest end-to-end validation this
+environment allows: the convex self-sup loss should measurably improve
+mIoU over supervised-only training (the paper's core claim), without the
+real ShapeNet-Part/ACD downloads.
+
+Category construction (deterministic given the seed):
+  - each category has a fixed number of parts P and a category "template"
+    of P ellipsoid pose priors;
+  - each shape perturbs the template (axis lengths, centers, rotation) and
+    samples points on each ellipsoid surface proportional to its area.
+
+Writes the reference's on-disk formats (ShapeNetDataLoader.py:29-52,
+302-327): synsetoffset2category.txt + split jsons + per-synset .txt files
+with xyz + normal + part label, and .npy ACD folders (xyz + component).
+"""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+# real category names/synsets so the mIoU harness' SEG_CLASSES category
+# masking applies (data/shapenet.py); 3 of each category's valid global
+# part ids are used (absent parts score IoU 1 per the reference rule)
+CATS = {"Airplane": "02691156", "Chair": "03001627"}
+PART_OFFSET = {"Airplane": 0, "Chair": 12}
+PARTS_PER_CAT = 3
+
+
+def _rot(rng):
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 2] *= -1
+    return q
+
+
+def _sample_shape(rng, template, n_points):
+    """Sample one shape from a category template.
+
+    Returns xyz [n, 3], normals [n, 3], part [n] in [0, P).
+    """
+    P = len(template)
+    radii = np.stack([t["r"] * rng.uniform(0.7, 1.3, 3) for t in template])
+    centers = np.stack([t["c"] + rng.normal(scale=0.15, size=3)
+                        for t in template])
+    rots = [t["R"] @ _rot_small(rng) for t in template]
+
+    areas = np.array([np.prod(r) ** (2 / 3) for r in radii])
+    counts = np.maximum((n_points * areas / areas.sum()).astype(int), 16)
+    counts[-1] += n_points - counts.sum()
+
+    xyz, nrm, part = [], [], []
+    for p in range(P):
+        u = rng.normal(size=(counts[p], 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        local = u * radii[p]
+        # outward normal of an ellipsoid at (x,y,z): (x/a^2, y/b^2, z/c^2)
+        n_local = u / radii[p]
+        n_local /= np.linalg.norm(n_local, axis=1, keepdims=True)
+        xyz.append(local @ rots[p].T + centers[p])
+        nrm.append(n_local @ rots[p].T)
+        part.append(np.full(counts[p], p))
+    return (np.concatenate(xyz), np.concatenate(nrm),
+            np.concatenate(part))
+
+
+def _rot_small(rng, scale=0.2):
+    a = rng.normal(scale=scale, size=3)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    from scipy.linalg import expm
+    return expm(K)
+
+
+def _template(rng, parts):
+    return [dict(r=rng.uniform(0.4, 1.2, 3),
+                 c=rng.normal(scale=1.2, size=3),
+                 R=_rot(rng)) for _ in range(parts)]
+
+
+def make_primitive_shapenet(root, n_per_cat=40, n_points=2048, seed=0):
+    """ShapeNet-Part-format tree of primitive-union shapes."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(osp.join(root, "train_test_split"), exist_ok=True)
+    with open(osp.join(root, "synsetoffset2category.txt"), "w") as f:
+        for name, synset in CATS.items():
+            f.write(f"{name}\t{synset}\n")
+
+    splits = {"train": [], "val": [], "test": []}
+    for name, synset in CATS.items():
+        tpl = _template(rng, PARTS_PER_CAT)
+        d = osp.join(root, synset)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_cat):
+            token = f"{name.lower()}{i:04d}"
+            xyz, nrm, part = _sample_shape(rng, tpl, n_points)
+            seg = part + PART_OFFSET[name]
+            data = np.concatenate(
+                [xyz, nrm, seg[:, None]], axis=1).astype(np.float32)
+            np.savetxt(osp.join(d, token + ".txt"), data, fmt="%.6f")
+            split = ("train" if i < n_per_cat // 2 else
+                     "val" if i < 3 * n_per_cat // 4 else "test")
+            splits[split].append(f"shape_data/{synset}/{token}")
+
+    for split, items in splits.items():
+        with open(osp.join(root, "train_test_split",
+                           f"shuffled_{split}_file_list.json"), "w") as f:
+            json.dump(items, f)
+    return root
+
+
+def make_primitive_acd(root, n_shapes=80, n_points=2048, seed=1,
+                       subfolder="shapes"):
+    """ACD-format .npy folder of primitive-union shapes (components =
+    ellipsoid ids) for the self-sup branch."""
+    rng = np.random.default_rng(seed)
+    d = osp.join(root, subfolder)
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_shapes):
+        tpl = _template(rng, int(rng.integers(2, 5)))
+        xyz, _, part = _sample_shape(rng, tpl, n_points)
+        data = np.concatenate(
+            [xyz, part[:, None]], axis=1).astype(np.float32)
+        np.save(osp.join(d, f"acd{i:04d}.npy"), data)
+    return root
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prim_data"
+    make_primitive_shapenet(osp.join(out, "shapenet"))
+    make_primitive_acd(osp.join(out, "acd"))
+    print("written to", out)
