@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from prifit_tpu.ops.pairwise import knn_with_dilation, knn_points_normals
-from prifit_tpu.ops.sampling import index_points
+from prifit_tpu.ops.sampling import gather_neighbors
 
 
 def get_graph_feature(x: jax.Array, k1: int, k2: int,
@@ -28,7 +28,7 @@ def get_graph_feature(x: jax.Array, k1: int, k2: int,
     """
     if idx is None:
         idx = knn_with_dilation(x, k1, k2)
-    nbrs = index_points(x, idx)                  # [B, N, k1, C]
+    nbrs = gather_neighbors(x, idx)              # [B, N, k1, C]
     center = jnp.broadcast_to(x[:, :, None, :], nbrs.shape)
     return jnp.concatenate([nbrs - center, center], axis=-1), idx
 
@@ -36,7 +36,7 @@ def get_graph_feature(x: jax.Array, k1: int, k2: int,
 def get_graph_feature_with_normals(x: jax.Array, k1: int, k2: int):
     """Normals-aware variant for 6-channel input (``src/dgcnn.py:110-146``)."""
     idx = knn_points_normals(x, k1, k2)
-    nbrs = index_points(x, idx)
+    nbrs = gather_neighbors(x, idx)
     center = jnp.broadcast_to(x[:, :, None, :], nbrs.shape)
     return jnp.concatenate([nbrs - center, center], axis=-1), idx
 

@@ -185,6 +185,52 @@ def _cluster_local(x_local, *, quantile, iterations, max_num_clusters,
         num_clusters=jnp.sum(valid, axis=1).astype(jnp.int32))
 
 
+def analytic_chamfer_sharded(params: PrimitiveParams, samples, sample_w,
+                             target_local, axis, cuboid: bool = False,
+                             data_axis: str | None = None):
+    """Point-sharded analytic chamfer (call inside ``shard_map``).
+
+    Mirrors ``geometry.losses.analytic_chamfer`` with the TARGET cloud
+    sharded over ``axis``: the SDF side reduces local sums with ``psum``;
+    the NN side takes per-device minima over the local targets and
+    all-gathers them (differentiable, unlike ``pmin``).  Primitive
+    samples are replicated — there are only K*n_per_prim of them.
+
+    Args:
+        params: replicated ``[B, K, ...]``; samples ``[B, S, 3]``;
+        sample_w ``[B, S]``; target_local ``[B, m_loc, 3]``.
+    """
+    from prifit_tpu.geometry.sdf import sdf_primitives
+
+    def one(p, s, w, t_loc):
+        sdf = sdf_primitives(t_loc, p.r, p.V, p.center, cuboid)  # [m, K]
+        asdf = jnp.where(p.valid[None, :], jnp.abs(sdf), jnp.inf)
+        d_ts_sum = jax.lax.psum(jnp.sum(jnp.min(asdf, axis=1) ** 2), axis)
+        m_total = jax.lax.psum(t_loc.shape[0], axis)
+
+        # local NN distances of every (replicated) sample to the local
+        # target slice, then a differentiable global min via all_gather
+        diff = s[:, None, :] - t_loc[None, :, :]
+        d_local = jnp.min(jnp.sum(diff ** 2, axis=-1), axis=1)   # [S]
+        d_all = jax.lax.all_gather(d_local, axis)                # [P, S]
+        d_st = jnp.min(d_all, axis=0)
+
+        w_sum = jnp.maximum(jnp.sum(w), 1e-12)
+        mean_st = jnp.sum(d_st * w) / w_sum
+        has = jnp.any(p.valid)
+        mean_ts = jnp.where(has, d_ts_sum / m_total, 0.0)
+        return jnp.where(has, (mean_st + mean_ts) / 2.0, 0.0), has
+
+    dists, has = jax.vmap(one)(params, samples, sample_w, target_local)
+    num = jnp.sum(dists)
+    den = jnp.sum(has)
+    if data_axis is not None:
+        # global batch mean when the batch axis is sharded too
+        num = jax.lax.psum(num, data_axis)
+        den = jax.lax.psum(den, data_axis)
+    return num / jnp.maximum(den, 1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "quantile", "iterations", "max_num_clusters",
@@ -234,3 +280,55 @@ def cluster_and_fit_point_sharded(
         out_specs=(out_cluster, out_params),
         check_vma=False,
     )(X, points)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "quantile", "iterations", "max_num_clusters",
+                     "n_per_prim", "bandwidth_samples", "cuboid"))
+def convex_fit_loss_point_sharded(
+        X: jax.Array, points: jax.Array, target: jax.Array, *, mesh: Mesh,
+        quantile: float = 0.05, iterations: int = 5,
+        max_num_clusters: int = 25, n_per_prim: int = 64,
+        bandwidth_samples: int = 1 << 30, cuboid: bool = False):
+    """Full self-sup fit loss with the point axis sharded: ring mean-shift
+    -> psum fit -> (replicated) primitive sampling -> sharded analytic
+    chamfer.  The sequence-parallel equivalent of
+    ``geometry.convex_loss`` minus the optional entropy/intersection
+    terms; the scalar loss is slot-permutation invariant, so it equals
+    the unsharded pipeline's value.
+
+    Args:
+        X ``[B, N, D]`` embeddings; points ``[B, N, 3]`` fit targets;
+        target ``[B, M, 3]`` chamfer cloud (sharded over its M axis).
+    Returns:
+        ``(loss [], PrimitiveParams)``.
+    """
+    from prifit_tpu.geometry.sampling import sample_primitives_batch
+
+    axis_size = mesh.shape["points"]
+
+    def body(x_loc, p_loc, t_loc):
+        res = _cluster_local(
+            x_loc, quantile=quantile, iterations=iterations,
+            max_num_clusters=max_num_clusters,
+            bandwidth_samples=bandwidth_samples, axis="points",
+            axis_size=axis_size, kernel_type="gaussian")
+        params = fit_ellipsoids_sharded(p_loc, res.weights, res.valid,
+                                        "points")
+        samples, w = sample_primitives_batch(
+            params, n_per_prim=n_per_prim, cuboid=cuboid)
+        loss = analytic_chamfer_sharded(params, samples, w, t_loc,
+                                        "points", cuboid,
+                                        data_axis="data")
+        return loss, params
+
+    out_params = PrimitiveParams(r=P("data"), V=P("data"),
+                                 center=P("data"), valid=P("data"))
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "points"), P("data", "points"),
+                  P("data", "points")),
+        out_specs=(P(), out_params),
+        check_vma=False,
+    )(X, points, target)

@@ -138,3 +138,62 @@ class TestPointSharded:
             X, pts, mesh=mesh, bandwidth_samples=64, **KW)
         assert np.isfinite(np.asarray(res.bandwidth)).all()
         assert (np.asarray(res.num_clusters) >= 1).all()
+
+
+class TestShardedConvexLoss:
+    def test_loss_matches_unsharded(self, data):
+        """Full SP fit loss (ring cluster -> psum fit -> sharded chamfer)
+        equals the unsharded pipeline — the scalar is slot-permutation
+        invariant."""
+        from prifit_tpu.geometry.losses import analytic_chamfer
+        from prifit_tpu.geometry.sampling import sample_primitives_batch
+        from prifit_tpu.parallel.point_sp import (
+            convex_fit_loss_point_sharded,
+        )
+
+        X, pts = data
+        rng = np.random.default_rng(7)
+        target = jnp.asarray(
+            rng.normal(scale=2.0, size=(2, 256, 3)).astype(np.float32))
+        mesh = make_dp_sp_mesh(2, 4)
+
+        loss_sp, params_sp = convex_fit_loss_point_sharded(
+            X, pts, target, mesh=mesh, n_per_prim=16, **KW)
+
+        res = cluster_batch(X, num_candidates=1, **KW)
+        params = fit_ellipsoids_batch(pts, res.weights, res.valid)
+        samples, w = sample_primitives_batch(params, n_per_prim=16)
+        loss_ref = analytic_chamfer(params, samples, w, target)
+
+        np.testing.assert_allclose(float(loss_sp), float(loss_ref),
+                                   rtol=2e-4)
+        assert np.isfinite(np.asarray(params_sp.r)).all()
+
+    def test_loss_gradient_matches(self, data):
+        from prifit_tpu.geometry.losses import analytic_chamfer
+        from prifit_tpu.geometry.sampling import sample_primitives_batch
+        from prifit_tpu.parallel.point_sp import (
+            convex_fit_loss_point_sharded,
+        )
+
+        X, pts = data
+        rng = np.random.default_rng(7)
+        target = jnp.asarray(
+            rng.normal(scale=2.0, size=(2, 256, 3)).astype(np.float32))
+        mesh = make_dp_sp_mesh(2, 4)
+
+        def f_sp(p):
+            loss, _ = convex_fit_loss_point_sharded(
+                X, p, target, mesh=mesh, n_per_prim=16, **KW)
+            return loss
+
+        def f_ref(p):
+            res = cluster_batch(X, num_candidates=1, **KW)
+            params = fit_ellipsoids_batch(p, res.weights, res.valid)
+            samples, w = sample_primitives_batch(params, n_per_prim=16)
+            return analytic_chamfer(params, samples, w, target)
+
+        g_sp = np.asarray(jax.grad(f_sp)(pts))
+        g_ref = np.asarray(jax.grad(f_ref)(pts))
+        scale = max(float(np.abs(g_ref).max()), 1e-6)
+        np.testing.assert_allclose(g_sp, g_ref, atol=3e-3 * scale)
