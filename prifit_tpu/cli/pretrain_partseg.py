@@ -157,17 +157,28 @@ def main(args):
         momentum = bn_momentum_schedule(epoch, args.step_size)
         log(f"Epoch {epoch + 1}/{args.epoch}: lr {lr:.6f}")
 
-        losses = []
-        for i, (pts, chamfer_pts, cls, _seg) in enumerate(train_loader):
+        # host augmentation + H2D placement double-buffered behind the
+        # step (same prefetch structure as train_partseg)
+        from prifit_tpu.data.loader import prefetch_to_device
+
+        def transform(item):
+            pts, chamfer_pts, cls, _seg = item
             pts = augment_pretrain(pts, args, rng)
             chamfer_pts = augment_pretrain(chamfer_pts, args, rng)
             choice = rng.choice(chamfer_pts.shape[1], args.npoint,
                                 replace=False)
             enc_pts = chamfer_pts[:, choice, :]
-            cls_zero = jnp.zeros((pts.shape[0], args.num_classes))
-            batch = shard_batch(mesh, (
-                jnp.asarray(enc_pts), jnp.asarray(chamfer_pts[:, :, :3]),
-                cls_zero))
+            cls_zero = np.zeros((pts.shape[0], args.num_classes),
+                                np.float32)
+            return (enc_pts.astype(np.float32),
+                    chamfer_pts[:, :, :3].astype(np.float32), cls_zero)
+
+        stream = prefetch_to_device(
+            train_loader, transform=transform,
+            place=lambda b: shard_batch(mesh, b))
+
+        losses = []
+        for i, batch in enumerate(stream):
             key = jax.random.fold_in(base_key, epoch * 1000003 + i)
             state, m = ss_step(state, batch[0], batch[1], batch[2],
                                lr, momentum, 1.0, key)
