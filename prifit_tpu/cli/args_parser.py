@@ -110,10 +110,11 @@ def parse_args(argv=None):
              "DataLoader(num_workers=4), train_partseg_shapenet.py:178); "
              "0 = synchronous.  Batches are bit-identical either way")
     add("--encoder_dtype", type=str, default="auto",
-        choices=["auto", "bf16", "f32"],
-        help="encoder MLP compute dtype: auto = bf16 on TPU, f32 "
-             "elsewhere (heads, BN stats and the convex-loss geometry "
-             "always run f32)")
+        choices=["auto", "f32", "bf16", "sa_bf16"],
+        help="encoder MLP compute dtype. auto == f32 (bf16 destabilizes "
+             "few-shot training, STATUS.md A/B); bf16 / sa_bf16 opt in "
+             "to 1.4-1.8x faster steps for throughput-bound workloads "
+             "(heads, BN stats and the convex-loss geometry always f32)")
     args = parser.parse_args(argv)
     if args.split is not None:
         args.train_split = args.split

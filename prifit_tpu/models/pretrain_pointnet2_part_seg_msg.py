@@ -38,12 +38,23 @@ class get_model(nn.Module):
     # query_ball_point (ops/sampling.py; A/B in STATUS.md)
     fused_ball_query: bool = True   # see pointnet2_part_seg_msg.get_model
 
-    def _encoder_dtype(self):
-        if self.compute_dtype == "auto":
-            return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    def _encoder_dtypes(self):
+        """(SA dtype, FP dtype) for the encoder MLP chains.
+
+        Default ("auto" == "f32") is full f32: on the primitive-structured
+        few-shot benchmark (STATUS.md) f32 training lands at class-avg
+        mIoU 0.89-0.90 across 5 seeds while every bf16 variant scatters
+        0.64-0.86 — bf16 encoder activations destabilize few-shot
+        training even with the grouped first layer kept exact, so the
+        1.4-1.8x step-time win is not worth the default.  "bf16" (whole
+        encoder) and "sa_bf16" (only the set-abstraction neighborhood
+        tensors) remain opt-in for throughput-bound workloads.
+        """
         if self.compute_dtype in ("bf16", "bfloat16"):
-            return jnp.bfloat16
-        return None
+            return jnp.bfloat16, jnp.bfloat16
+        if self.compute_dtype == "sa_bf16":
+            return jnp.bfloat16, None
+        return None, None
 
     @nn.compact
     def __call__(self, xyz, cls_label, chamfer_points=None, *,
@@ -59,33 +70,33 @@ class get_model(nn.Module):
                  alpha=1.0, evaluation: bool = False) -> SegOutput:
         B, N, _ = xyz.shape
         an = self.axis_name
-        dt = self._encoder_dtype()
+        dt_sa, dt_fp = self._encoder_dtypes()
         l0_points = xyz
         l0_xyz = xyz[..., :3]
 
         l1_xyz, l1_points = SetAbstractionMsg(
             512, [0.1, 0.2, 0.4], [32, 64, 128],
-            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt,
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt_sa,
             fused=self.fused_ball_query, name="sa1")(l0_xyz, l0_points, train, bn_momentum)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.4, 0.8], [64, 128],
-            [[128, 128, 256], [128, 196, 256]], an, dtype=dt,
+            [[128, 128, 256], [128, 196, 256]], an, dtype=dt_sa,
             fused=self.fused_ball_query, name="sa2")(
                 l1_xyz, l1_points, train, bn_momentum)
         l3_xyz, l3_points = SetAbstraction(
             None, None, None, [256, 512, 1024], group_all=True,
-            axis_name=an, dtype=dt, name="sa3")(
+            axis_name=an, dtype=dt_sa, name="sa3")(
                 l2_xyz, l2_points, train, bn_momentum)
 
-        l2_points = FeaturePropagation([256, 256], an, dtype=dt,
+        l2_points = FeaturePropagation([256, 256], an, dtype=dt_fp,
                                        name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, train, bn_momentum)
-        l1_points = FeaturePropagation([256, 128], an, dtype=dt,
+        l1_points = FeaturePropagation([256, 128], an, dtype=dt_fp,
                                        name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_points, train, bn_momentum)
         cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
         skip = jnp.concatenate([cls_onehot, l0_xyz, l0_points], axis=-1)
-        l0_points = FeaturePropagation([128, 128], an, dtype=dt,
+        l0_points = FeaturePropagation([128, 128], an, dtype=dt_fp,
                                        name="fp1")(
             l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
 

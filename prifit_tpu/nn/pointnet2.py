@@ -84,19 +84,28 @@ class GroupedFirstLayer(nn.Module):
     def __call__(self, xyz, points, new_xyz, idx, train: bool,
                  bn_momentum=0.1):
         """xyz [B, N, 3]; points [B, N, D] or None; new_xyz [B, S, 3];
-        idx [B, S, K] -> [B, S, K, features] (post-BN, post-ReLU)."""
+        idx [B, S, K] -> [B, S, K, features] (post-BN, post-ReLU).
+
+        Precision note: this layer ends in ``projected_neighbor -
+        projected_center`` where the difference is much smaller than the
+        operands (sa1 radii are 0.1-0.4 on unit-sphere clouds), so
+        bf16-rounded gathers or projections suffer catastrophic
+        cancellation that measurably degrades few-shot training
+        (STATUS.md bf16 A/B).  The whole affine part therefore runs f32
+        with exact gathers regardless of ``dtype``; the OUTPUT (a small
+        relative quantity, safe in bf16) is cast to ``dtype`` for the
+        downstream MLP chain.
+        """
         dense_xyz = nn.Dense(self.features, use_bias=False,
-                             dtype=self.dtype, name="dense_xyz")
+                             name="dense_xyz")
         d_in = 0 if points is None else points.shape[-1]
+        prec = jax.lax.Precision.HIGHEST
 
         if 3 + d_in <= self.features:
-            # exact f32 raw-coordinate gather unless running bf16 anyway
-            prec = None if self.dtype == jnp.bfloat16 \
-                else jax.lax.Precision.HIGHEST
             grouped = dense_xyz(gather_neighbors(xyz, idx, precision=prec))
             if points is not None:
                 grouped = grouped + nn.Dense(
-                    self.features, dtype=self.dtype, name="dense_feat")(
+                    self.features, name="dense_feat")(
                         gather_neighbors(points, idx, precision=prec))
             else:
                 grouped = grouped + self.param(
@@ -104,13 +113,15 @@ class GroupedFirstLayer(nn.Module):
         else:
             pre = dense_xyz(xyz)
             if points is not None:
-                pre = pre + nn.Dense(self.features, dtype=self.dtype,
+                pre = pre + nn.Dense(self.features,
                                      name="dense_feat")(points)
             else:
                 pre = pre + self.param(
                     "bias", nn.initializers.zeros, (self.features,))
-            grouped = gather_neighbors(pre, idx)           # [B, S, K, H]
+            grouped = gather_neighbors(pre, idx, precision=prec)
         grouped = grouped - dense_xyz(new_xyz)[:, :, None, :]
+        if self.dtype is not None:
+            grouped = grouped.astype(self.dtype)
         grouped = BatchNorm(axis_name=self.axis_name)(
             grouped, use_running_average=not train, momentum=bn_momentum)
         return nn.relu(grouped)

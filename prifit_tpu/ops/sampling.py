@@ -93,8 +93,12 @@ def index_points_onehot(points: jax.Array, idx: jax.Array,
 
     Precision: the default TPU matmul rounds operands to bf16, i.e. the
     gathered VALUES come back bf16-rounded (one-hot 0/1 is exact either
-    way).  Pass ``precision=jax.lax.Precision.HIGHEST`` for exact f32
-    (3-6x the FLOPs — still cheap for narrow C).
+    way).  Pass ``precision=jax.lax.Precision.HIGHEST`` for bit-exact f32
+    values — internally lowered to the asymmetric
+    ``(DEFAULT, HIGHEST)`` operand pair, since the one-hot side is exact
+    in bf16 and a symmetric HIGHEST einsum at these shapes sends the XLA
+    compiler into a multi-minute pass (312 s observed vs 7 s mixed;
+    verified bit-equal to the native gather).
 
     Args:
         points: ``[B, N, C]``; idx: ``[B, ...]`` int32.
@@ -102,6 +106,8 @@ def index_points_onehot(points: jax.Array, idx: jax.Array,
         ``[B, ..., C]`` like :func:`index_points`.
     """
     B, N, C = points.shape
+    if precision == jax.lax.Precision.HIGHEST:
+        precision = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
     flat = idx.reshape(B, -1)                              # [B, P]
     oh = (flat[:, :, None] == jnp.arange(N, dtype=idx.dtype)[None, None]
           ).astype(points.dtype)
