@@ -244,10 +244,10 @@ def ball_query_nearest_shared(radius_list, nsample_list, xyz: jax.Array,
 
     TPU-first variant of repeated :func:`query_ball_point` calls: the
     multi-scale grouping layer issues one ball query per radius over the
-    same (query, source) pair; ``top_k`` over the lane axis dominates the
-    cost.  Here ONE ``top_k`` of the max K over *distance* serves every
-    radius — smaller radii take a prefix of the same sorted neighbors,
-    masked by their radius.
+    same (query, source) pair, and neighbor selection dominates the cost.
+    Here ONE packed ``min_k`` of the max K over *distance*
+    (``pairwise.min_k_packed``) serves every radius — smaller radii take
+    a prefix of the same sorted neighbors, masked by their radius.
 
     Selection semantics: the reference keeps the first ``nsample``
     in-radius points by ascending INDEX (``pointnet_util.py:87-107``, an
