@@ -222,3 +222,43 @@ class TestSVDGradientParity:
         ref_sym = (ref_grad + ref_grad.T) / 2
         got_sym = (got + got.T) / 2
         np.testing.assert_allclose(got_sym, ref_sym, atol=5e-4)
+
+
+class TestMeanShiftEffParity:
+    def test_seeded_iterations(self, rng):
+        """Seeded eff variant (src/mean_shift.py:86-118) — including its
+        similarity-kernel and replace-update quirks."""
+        from prifit_tpu.clustering.mean_shift import (
+            mean_shift_eff_iterations,
+        )
+
+        x = rng.normal(size=(128, 16)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        seeds = x[::2]
+        ms = MeanShift()
+        with torch.no_grad():
+            ref, _ = ms.mean_shift_eff_(
+                torch.tensor(x), torch.tensor(seeds.copy()),
+                b=torch.tensor(0.7), iterations=5)
+        got = mean_shift_eff_iterations(jnp.asarray(x), jnp.asarray(seeds),
+                                        jnp.float32(0.7), 5)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
+
+    def test_seeded_epanechnikov(self, rng):
+        from prifit_tpu.clustering.mean_shift import (
+            mean_shift_eff_iterations,
+        )
+
+        x = rng.normal(size=(96, 8)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        seeds = x[:48]
+        ms = MeanShift()
+        with torch.no_grad():
+            ref, _ = ms.mean_shift_eff_(
+                torch.tensor(x), torch.tensor(seeds.copy()),
+                b=torch.tensor(0.8), iterations=4,
+                kernel_type="epanechnikov")
+        got = mean_shift_eff_iterations(jnp.asarray(x), jnp.asarray(seeds),
+                                        jnp.float32(0.8), 4,
+                                        kernel_type="epanechnikov")
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
