@@ -32,6 +32,14 @@ CATS = {"Airplane": "02691156", "Chair": "03001627"}
 PART_OFFSET = {"Airplane": 0, "Chair": 12}
 PARTS_PER_CAT = 3
 
+# hard mode: categories with the LARGEST part vocabularies, per-shape
+# random part subsets from a category pool and strong pose jitter — a
+# few labeled shapes cannot cover the category's layouts, which is the
+# regime where the self-sup fitting loss has something to add
+HARD_CATS = {"Motorbike": "03790512", "Lamp": "03636649"}
+HARD_PART_OFFSET = {"Motorbike": 30, "Lamp": 24}
+HARD_POOL = {"Motorbike": 6, "Lamp": 4}
+
 
 def _rot(rng):
     q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
@@ -83,23 +91,46 @@ def _template(rng, parts):
                  R=_rot(rng)) for _ in range(parts)]
 
 
-def make_primitive_shapenet(root, n_per_cat=40, n_points=2048, seed=0):
-    """ShapeNet-Part-format tree of primitive-union shapes."""
+def make_primitive_shapenet(root, n_per_cat=40, n_points=2048, seed=0,
+                            hard=False):
+    """ShapeNet-Part-format tree of primitive-union shapes.
+
+    ``hard=True`` uses the larger part-vocabulary categories with
+    per-shape random subsets of a category part pool (each part present
+    with p=0.6, at least 2) and strong pose jitter — few-shot supervision
+    cannot cover the layout variety, unlike the easy variant where one
+    template per category makes a single labeled shape nearly sufficient.
+    """
     rng = np.random.default_rng(seed)
+    cats = HARD_CATS if hard else CATS
+    offsets = HARD_PART_OFFSET if hard else PART_OFFSET
     os.makedirs(osp.join(root, "train_test_split"), exist_ok=True)
     with open(osp.join(root, "synsetoffset2category.txt"), "w") as f:
-        for name, synset in CATS.items():
+        for name, synset in cats.items():
             f.write(f"{name}\t{synset}\n")
 
     splits = {"train": [], "val": [], "test": []}
-    for name, synset in CATS.items():
-        tpl = _template(rng, PARTS_PER_CAT)
+    for name, synset in cats.items():
+        pool_n = HARD_POOL[name] if hard else PARTS_PER_CAT
+        pool = _template(rng, pool_n)
         d = osp.join(root, synset)
         os.makedirs(d, exist_ok=True)
         for i in range(n_per_cat):
             token = f"{name.lower()}{i:04d}"
-            xyz, nrm, part = _sample_shape(rng, tpl, n_points)
-            seg = part + PART_OFFSET[name]
+            if hard:
+                present = rng.random(pool_n) < 0.6
+                if present.sum() < 2:
+                    present[rng.choice(pool_n, 2, replace=False)] = True
+                sub_ids = np.flatnonzero(present)
+                tpl = [dict(r=pool[j]["r"] * rng.uniform(0.5, 1.6, 3),
+                            c=pool[j]["c"] + rng.normal(scale=0.4, size=3),
+                            R=pool[j]["R"] @ _rot_small(rng, 0.5))
+                       for j in sub_ids]
+                xyz, nrm, part = _sample_shape(rng, tpl, n_points)
+                seg = sub_ids[part] + offsets[name]
+            else:
+                xyz, nrm, part = _sample_shape(rng, pool, n_points)
+                seg = part + offsets[name]
             data = np.concatenate(
                 [xyz, nrm, seg[:, None]], axis=1).astype(np.float32)
             np.savetxt(osp.join(d, token + ".txt"), data, fmt="%.6f")
@@ -134,6 +165,7 @@ if __name__ == "__main__":
     import sys
 
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prim_data"
-    make_primitive_shapenet(osp.join(out, "shapenet"))
+    hard = "--hard" in sys.argv
+    make_primitive_shapenet(osp.join(out, "shapenet"), hard=hard)
     make_primitive_acd(osp.join(out, "acd"))
-    print("written to", out)
+    print("written to", out, "(hard)" if hard else "")
