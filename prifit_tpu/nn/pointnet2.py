@@ -247,7 +247,11 @@ class FeaturePropagation(nn.Module):
                  bn_momentum=0.1):
         """xyz1 [B, N, 3] dense, xyz2 [B, S, 3] coarse,
         points1 [B, N, D1] skip or None, points2 [B, S, D2]."""
-        interpolated = three_nn_interpolate(xyz1, xyz2, points2)
+        # exact feature gather in f32 mode; bf16 rounding is fine (and
+        # cheaper) when the whole chain is bf16 anyway
+        prec = None if self.dtype == jnp.bfloat16             else jax.lax.Precision.HIGHEST
+        interpolated = three_nn_interpolate(xyz1, xyz2, points2,
+                                            precision=prec)
         if points1 is not None:
             x = jnp.concatenate(
                 [points1, interpolated.astype(points1.dtype)], axis=-1)

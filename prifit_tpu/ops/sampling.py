@@ -323,7 +323,8 @@ def sample_and_group_all(xyz: jax.Array, points: jax.Array | None):
 
 
 def three_nn_interpolate(xyz_dst: jax.Array, xyz_src: jax.Array,
-                         feats_src: jax.Array) -> jax.Array:
+                         feats_src: jax.Array,
+                         precision=None) -> jax.Array:
     """Inverse-distance weighted 3-NN feature interpolation.
 
     Upsamples features living on the coarse set ``xyz_src`` to the dense set
@@ -334,6 +335,10 @@ def three_nn_interpolate(xyz_dst: jax.Array, xyz_src: jax.Array,
         xyz_dst: ``[B, N, 3]`` dense positions.
         xyz_src: ``[B, S, 3]`` coarse positions (S >= 3... or S == 1).
         feats_src: ``[B, S, D]`` coarse features.
+        precision: for the feature gather — pass
+            ``jax.lax.Precision.HIGHEST`` for bit-exact f32 features
+            (f32 encoder mode); default lets the one-hot gather round
+            values to bf16 like any TPU matmul.
     Returns:
         ``[B, N, D]`` interpolated features.
     """
@@ -352,5 +357,6 @@ def three_nn_interpolate(xyz_dst: jax.Array, xyz_src: jax.Array,
     d, idx = min_k_packed(dists, 3)                         # [B, N, 3]
     w = 1.0 / (d + 1e-8)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
-    gathered = gather_neighbors(feats_src, idx)             # [B, N, 3, D]
+    gathered = gather_neighbors(feats_src, idx,
+                                precision=precision)        # [B, N, 3, D]
     return jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=2)
