@@ -355,3 +355,56 @@ class TestAsyncLoader:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
+
+
+class TestPrimitiveDatasetGenerator:
+    """tools/synthetic_primitive_dataset.py — the benchmark generator's
+    outputs must be loadable by the real dataset classes with valid
+    SEG_CLASSES labels."""
+
+    @pytest.mark.parametrize("hard", [False, True])
+    def test_generated_tree_loads(self, tmp_path, hard):
+        import sys
+        sys.path.insert(0, "tools")
+        from synthetic_primitive_dataset import (
+            make_primitive_acd,
+            make_primitive_shapenet,
+        )
+        from prifit_tpu.data.shapenet import SEG_CLASSES
+
+        root = make_primitive_shapenet(
+            str(tmp_path / "sn"), n_per_cat=6, n_points=128, hard=hard)
+        ds = PartNormalDataset(root, npoints=64,
+                               rng=np.random.default_rng(0))
+        assert len(ds) > 0
+        pts, cls, seg = ds[0]
+        assert pts.shape == (64, 3)
+        valid_ids = {i for parts in SEG_CLASSES.values() for i in parts}
+        assert set(np.unique(seg).tolist()) <= valid_ids
+        # labels fall in the right per-category range
+        cats = sorted(ds.cat)
+        for i in range(len(ds)):
+            _, c, s = ds[i]
+            name = cats[0] if ds.datapath[i][0] == cats[0] else cats[1]
+            assert set(np.unique(s).tolist()) <= set(SEG_CLASSES[name])
+
+        acd_root = make_primitive_acd(str(tmp_path / "acd"), n_shapes=4,
+                                      n_points=128)
+        acd = ACDSelfSupDataset(acd_root, npoints=64,
+                                rng=np.random.default_rng(0))
+        p, chamfer, c, s = acd[0]
+        assert chamfer.shape[0] == 128 and p.shape == (64, 3)
+
+    def test_hard_variant_varies_parts(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tools")
+        from synthetic_primitive_dataset import make_primitive_shapenet
+
+        root = make_primitive_shapenet(
+            str(tmp_path / "sn"), n_per_cat=10, n_points=128, hard=True)
+        ds = PartNormalDataset(root, npoints=128,
+                               rng=np.random.default_rng(0))
+        per_shape_parts = [frozenset(np.unique(ds[i][2]).tolist())
+                          for i in range(len(ds))]
+        # per-shape part subsets actually differ (the point of hard mode)
+        assert len(set(per_shape_parts)) > 2

@@ -481,3 +481,65 @@ class TestBf16Encoder:
         p16 = np.exp(np.asarray(out16.seg_logits))
         assert out16.seg_logits.dtype == jnp.float32
         np.testing.assert_allclose(p16, p32, atol=0.05)
+
+
+class TestTrainerDeterminism:
+    def test_two_runs_identical(self, tmp_path):
+        """Two identical CLI runs produce identical metrics — worker
+        threads, prefetch streams and jax RNG are all seed-deterministic
+        end to end."""
+        import json as _json
+
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.train_partseg import main
+
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=6,
+                                   n_points=64)
+        acd = make_acd_fixture(str(tmp_path / "acd"), n_shapes=6,
+                               n_points=96)
+
+        def run(tag):
+            args = parse_args([
+                "--model", "pointnet2_part_seg_msg", "--epoch", "2",
+                "--batch_size", "2", "--npoint", "48", "--k_shot", "2",
+                "--selfsup", "--ss_dataset", "acd", "--ss_path", acd,
+                "--data_root", sn, "--quantile", "0.05",
+                "--msc_iterations", "2", "--max_num_clusters", "4",
+                "--n_per_prim", "16", "--chamfer_npoints", "96",
+                "--num_workers", "3" if tag == "a" else "0",
+                "--experiment_root", str(tmp_path / f"log{tag}"),
+                "--learning_rate", "0.005", "--seed", "11"])
+            metrics = main(args)
+            run_dir = next((tmp_path / f"log{tag}").iterdir())
+            lines = [(tmp_path / f"log{tag}" / run_dir.name /
+                      "metrics.jsonl").read_text().splitlines()]
+            epochs = [_json.loads(l) for l in lines[0]
+                      if "train_acc" in l]
+            return metrics, epochs
+
+        m_a, ep_a = run("a")
+        m_b, ep_b = run("b")
+        # per-epoch train accuracy identical despite different worker
+        # counts (per-(seed, epoch, index) item rng)
+        assert len(ep_a) == len(ep_b) == 2
+        for ea, eb in zip(ep_a, ep_b):
+            np.testing.assert_allclose(ea["train_acc"], eb["train_acc"],
+                                       rtol=0, atol=0)
+        np.testing.assert_allclose(m_a["instance_avg_iou"],
+                                   m_b["instance_avg_iou"], atol=0)
+
+
+def test_sa_bf16_hybrid_forward_finite():
+    """The sa_bf16 opt-in (SA layers bf16, FP + heads f32) runs and
+    produces finite f32 logits."""
+    mod = get_module("pointnet2_part_seg_msg")
+    model = mod.get_model(num_parts=8, compute_dtype="sa_bf16")
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+    cls = to_categorical(jnp.zeros((2, 1), jnp.int32))
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), sampling=jax.random.PRNGKey(1),
+             dropout=jax.random.PRNGKey(2)), pts, cls, train=False)
+    out = model.apply(variables, pts, cls, train=False)
+    assert out.seg_logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(out.seg_logits)))
