@@ -472,6 +472,12 @@ def main(args):
                                     "class_avg_miou":
                                         best_metrics["best_class_avg_miou"]})
 
+    # retire the prefetch producer threads (the cycling streams never
+    # exhaust on their own)
+    sup_stream.close()
+    if ss_stream is not None:
+        ss_stream.close()
+
     # final evaluation (reference train:487)
     metrics = run_evaluation(args, args.epoch - 1, model, state, log,
                              metrics=best_metrics, cache=eval_cache)

@@ -171,6 +171,74 @@ class DataLoader:
 _STOP = object()
 
 
+class _PrefetchStream:
+    """Iterator over prefetched, device-placed batches.
+
+    ``close()`` (also called on garbage collection) unblocks and retires
+    the producer thread, so abandoned streams don't leak blocked threads
+    in long-lived processes; the thread is daemonic either way.
+    """
+
+    def __init__(self, iterable, size, transform, place):
+        import jax
+
+        self._q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+        self._stop = threading.Event()
+        self._put_fn = jax.device_put if place is None else place
+        self._transform = transform
+        self._iterable = iterable
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _enqueue(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def _produce(self):
+        try:
+            for item in self._iterable:
+                if self._stop.is_set():
+                    return
+                if self._transform is not None:
+                    item = self._transform(item)
+                if not self._enqueue(self._put_fn(item)):
+                    return
+        except BaseException as e:   # surface worker errors to consumer
+            self._enqueue((_STOP, e))
+            return
+        self._enqueue((_STOP, None))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, tuple) and len(item) == 2 \
+                and item[0] is _STOP:
+            self._stop.set()
+            if item[1] is not None:
+                raise item[1]
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so a blocked producer can observe the stop flag promptly
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue_mod.Empty:
+            pass
+
+    def __del__(self):
+        self._stop.set()
+
+
 def prefetch_to_device(iterable: Iterable, size: int = 2,
                        transform: Callable | None = None,
                        place: Callable | None = None) -> Iterator:
@@ -188,29 +256,7 @@ def prefetch_to_device(iterable: Iterable, size: int = 2,
         transform: optional host-side fn applied before the device put.
         place: device placement fn (default ``jax.device_put``); pass
             e.g. ``lambda b: shard_batch(mesh, b)`` for sharded batches.
+    Returns:
+        a :class:`_PrefetchStream` iterator (supports ``close()``).
     """
-    import jax
-
-    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
-    put = jax.device_put if place is None else place
-
-    def produce():
-        try:
-            for item in iterable:
-                if transform is not None:
-                    item = transform(item)
-                q.put(put(item))
-        except BaseException as e:  # surface worker errors to the consumer
-            q.put((_STOP, e))
-            return
-        q.put((_STOP, None))
-
-    thread = threading.Thread(target=produce, daemon=True)
-    thread.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _STOP:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    return _PrefetchStream(iterable, size, transform, place)

@@ -408,3 +408,21 @@ class TestPrimitiveDatasetGenerator:
                           for i in range(len(ds))]
         # per-shape part subsets actually differ (the point of hard mode)
         assert len(set(per_shape_parts)) > 2
+
+
+def test_prefetch_stream_close_retires_producer():
+    """Abandoned/closed prefetch streams must not leak blocked threads."""
+    import itertools
+    import threading
+    import time as _time
+
+    from prifit_tpu.data.loader import prefetch_to_device
+
+    before = threading.active_count()
+    stream = prefetch_to_device(itertools.count(), size=2)
+    assert int(np.asarray(next(stream))) == 0
+    stream.close()
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
