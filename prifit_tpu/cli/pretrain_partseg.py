@@ -12,7 +12,6 @@ not exist in its repo (SURVEY.md §2.9.3) — the hook here
 """
 
 import json
-import logging
 import os
 import os.path as osp
 import time

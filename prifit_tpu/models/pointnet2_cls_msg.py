@@ -1,7 +1,6 @@
 """PointNet++ MSG classification (rebuilds ``models/pointnet2_cls_msg.py``)."""
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from prifit_tpu.models.common import nll_loss

@@ -9,7 +9,6 @@ kernel on the MXU instead of 25 small launches).
 
 import math
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -7,8 +7,6 @@ the per-batch-element kNN loop of the reference is a batched matmul +
 replaces the reference's GroupNorm one-to-one; LeakyReLU slope 0.2.
 """
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

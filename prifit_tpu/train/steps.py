@@ -12,8 +12,7 @@ at construction; per-epoch scalars (lr, bn momentum, lambda) are traced
 arguments.
 """
 
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
