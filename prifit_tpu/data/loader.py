@@ -84,7 +84,8 @@ class DataLoader:
         self._seed = seed
         self._epoch = 0
         self._ds_lock = threading.Lock()
-        # kept for backward compat with callers poking loader.rng
+        # vestigial: collation/resampling use per-(seed, epoch, index)
+        # rngs (_item_rng), so poking this does NOT affect batches
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -183,6 +184,7 @@ class _PrefetchStream:
         import jax
 
         self._q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+        self._done = False
         self._stop = threading.Event()
         self._put_fn = jax.device_put if place is None else place
         self._transform = transform
@@ -217,9 +219,14 @@ class _PrefetchStream:
         return self
 
     def __next__(self):
+        if self._done:
+            # terminal latch: the producer has exited, so blocking on the
+            # (empty) queue again would hang forever
+            raise StopIteration
         item = self._q.get()
         if isinstance(item, tuple) and len(item) == 2 \
                 and item[0] is _STOP:
+            self._done = True
             self._stop.set()
             if item[1] is not None:
                 raise item[1]

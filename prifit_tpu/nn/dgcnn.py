@@ -26,7 +26,11 @@ def get_graph_feature(x: jax.Array, k1: int, k2: int,
     """
     if idx is None:
         idx = knn_with_dilation(x, k1, k2)
-    nbrs = gather_neighbors(x, idx)              # [B, N, k1, C]
+    # HIGHEST: the edge vectors `nbrs - center` are cancellation-sensitive
+    # (same reason GroupedFirstLayer keeps its gathers exact); without it
+    # the TPU one-hot gather would round neighbor features to bf16.
+    nbrs = gather_neighbors(x, idx,
+                            precision=jax.lax.Precision.HIGHEST)
     center = jnp.broadcast_to(x[:, :, None, :], nbrs.shape)
     return jnp.concatenate([nbrs - center, center], axis=-1), idx
 
@@ -34,7 +38,8 @@ def get_graph_feature(x: jax.Array, k1: int, k2: int,
 def get_graph_feature_with_normals(x: jax.Array, k1: int, k2: int):
     """Normals-aware variant for 6-channel input (``src/dgcnn.py:110-146``)."""
     idx = knn_points_normals(x, k1, k2)
-    nbrs = gather_neighbors(x, idx)
+    nbrs = gather_neighbors(x, idx,
+                            precision=jax.lax.Precision.HIGHEST)
     center = jnp.broadcast_to(x[:, :, None, :], nbrs.shape)
     return jnp.concatenate([nbrs - center, center], axis=-1), idx
 

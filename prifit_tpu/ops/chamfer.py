@@ -30,9 +30,12 @@ def _min_sqdist_chunked(src: jax.Array, dst: jax.Array,
     N = src.shape[0]
     if N % chunk != 0:
         # largest divisor of N that fits the budget (e.g. the primitive
-        # sample count 25*256=6400 -> 800); N itself only as a last resort
-        chunk = max((c for c in range(1, chunk + 1) if N % c == 0),
-                    default=N)
+        # sample count 25*256=6400 -> 800); a prime/odd N would otherwise
+        # degrade to a tiny divisor (chunk=1 => N-iteration scan of
+        # [1, M] rows), so fall back to one full-size chunk instead
+        best = max((c for c in range(1, chunk + 1) if N % c == 0),
+                   default=1)
+        chunk = best if best >= chunk // 8 else N
     n_chunks = N // chunk
     src_c = src.reshape(n_chunks, chunk, src.shape[-1])
 

@@ -100,7 +100,11 @@ def min_k_packed(dist: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
         return min_k(dist, k)
     mask = jnp.int32((1 << bits) - 1)
     exp_bump = jnp.int32(1 << 23)
-    di = jax.lax.bitcast_convert_type(jnp.maximum(dist, 0.0), jnp.int32)
+    # the exponent bump would map distances >= ~2^104 (incl. +inf, e.g.
+    # masked-out entries) onto inf/NaN bit patterns and corrupt the
+    # ordering; clamp to a large finite value well below that ceiling
+    dist = jnp.minimum(jnp.maximum(dist, 0.0), jnp.float32(1e30))
+    di = jax.lax.bitcast_convert_type(dist, jnp.int32)
     idx = jnp.arange(N, dtype=jnp.int32)
     packed = ((di & ~mask) | idx) + exp_bump
     pf = jax.lax.bitcast_convert_type(packed, jnp.float32)
