@@ -152,13 +152,17 @@ class SetAbstraction(nn.Module):
                 grouped, train, bn_momentum)
             return new_xyz, jnp.max(out, axis=2)
 
+        # f32 mode keeps gather BACKWARDS exact too (no bf16 cotangent
+        # rounding; ops/sampling.py::index_points precision note)
+        prec = None if self.dtype == jnp.bfloat16 \
+            else jax.lax.Precision.HIGHEST
         if train:
             key = self.make_rng("sampling")
             fps_idx = farthest_point_sample(xyz, self.npoint, key=key)
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint,
                                             deterministic=True)
-        new_xyz = index_points(xyz, fps_idx)
+        new_xyz = index_points(xyz, fps_idx, precision=prec)
 
         if self.fused:
             (idx,) = ball_query_nearest_shared(
@@ -169,10 +173,12 @@ class SetAbstraction(nn.Module):
                 h, train, bn_momentum)
         else:
             idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_xyz = index_points(xyz, idx, precision=prec) \
+                - new_xyz[:, :, None, :]
             if points is not None:
                 grouped = jnp.concatenate(
-                    [grouped_xyz, index_points(points, idx)], axis=-1)
+                    [grouped_xyz, index_points(points, idx,
+                                               precision=prec)], axis=-1)
             else:
                 grouped = grouped_xyz
             out = PointMLP(self.mlp, self.axis_name, self.dtype)(
@@ -197,13 +203,15 @@ class SetAbstractionMsg(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
+        prec = None if self.dtype == jnp.bfloat16 \
+            else jax.lax.Precision.HIGHEST
         if train:
             key = self.make_rng("sampling")
             fps_idx = farthest_point_sample(xyz, self.npoint, key=key)
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint,
                                             deterministic=True)
-        new_xyz = index_points(xyz, fps_idx)
+        new_xyz = index_points(xyz, fps_idx, precision=prec)
 
         outs = []
         if self.fused:
@@ -222,10 +230,12 @@ class SetAbstractionMsg(nn.Module):
         for radius, k, mlp in zip(self.radius_list, self.nsample_list,
                                   self.mlp_list):
             idx = query_ball_point(radius, k, xyz, new_xyz)
-            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_xyz = index_points(xyz, idx, precision=prec) \
+                - new_xyz[:, :, None, :]
             if points is not None:
                 grouped = jnp.concatenate(
-                    [index_points(points, idx), grouped_xyz], axis=-1)
+                    [index_points(points, idx, precision=prec),
+                     grouped_xyz], axis=-1)
             else:
                 grouped = grouped_xyz
             out = PointMLP(mlp, self.axis_name, self.dtype)(

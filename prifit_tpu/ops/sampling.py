@@ -23,31 +23,46 @@ import numpy as np
 from prifit_tpu.ops.pairwise import min_k, min_k_packed, square_distance
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_mxu_vjp(n: int, points: jax.Array, idx: jax.Array) -> jax.Array:
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_mxu_vjp(n: int, exact_grad: bool, points: jax.Array,
+                    idx: jax.Array) -> jax.Array:
     return jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(points, idx)
 
 
-def _gather_fwd(n, points, idx):
-    return _gather_mxu_vjp(n, points, idx), idx
+def _gather_fwd(n, exact_grad, points, idx):
+    return _gather_mxu_vjp(n, exact_grad, points, idx), idx
 
 
-def _gather_bwd(n, res, g):
+def _gather_bwd(n, exact_grad, res, g):
     # The natural transpose of a gather is a scatter-add, which runs ~17x
     # slower than the MXU on TPU for these shapes (22 ms vs 1.3 ms for a
-    # [24, 512, 128, 64] neighborhood).  Accumulate through a bf16 one-hot
+    # [24, 512, 128, 64] neighborhood).  Accumulate through a one-hot
     # matmul with f32 accumulation instead — XLA streams the one-hot tiles
-    # without materializing them.
+    # without materializing them.  With ``exact_grad`` the cotangent side
+    # of the einsum runs at HIGHEST precision (asymmetric pair — the
+    # one-hot side is exact in bf16 anyway), so gradients are not rounded
+    # to bf16; mirrors the forward's f32-exact option
+    # (``index_points_onehot``) and costs about the same (measured,
+    # tools/bench_components.py).
     idx = res
     B = idx.shape[0]
     flat_idx = idx.reshape(B, -1)                        # [B, P]
     flat_g = g.reshape(B, flat_idx.shape[1], g.shape[-1])
     if jax.default_backend() == "tpu":
-        onehot = (flat_idx[:, :, None]
-                  == jnp.arange(n)[None, None, :]).astype(jnp.bfloat16)
-        dpoints = jnp.einsum("bpn,bpc->bnc", onehot,
-                             flat_g.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
+        if exact_grad:
+            onehot = (flat_idx[:, :, None]
+                      == jnp.arange(n)[None, None, :]).astype(jnp.float32)
+            dpoints = jnp.einsum(
+                "bpn,bpc->bnc", onehot, flat_g.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.DEFAULT,
+                           jax.lax.Precision.HIGHEST))
+        else:
+            onehot = (flat_idx[:, :, None]
+                      == jnp.arange(n)[None, None, :]).astype(jnp.bfloat16)
+            dpoints = jnp.einsum("bpn,bpc->bnc", onehot,
+                                 flat_g.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
     else:
         # exact scatter-add off-TPU (CPU scatters are fine)
         dpoints = jax.vmap(
@@ -61,11 +76,15 @@ def _gather_bwd(n, res, g):
 _gather_mxu_vjp.defvjp(_gather_fwd, _gather_bwd)
 
 
-def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+def index_points(points: jax.Array, idx: jax.Array,
+                 precision=None) -> jax.Array:
     """Batched gather: ``out[b, ...] = points[b, idx[b, ...], :]``.
 
     Forward is a plain XLA gather; backward accumulates via a one-hot MXU
-    matmul instead of the (slow on TPU) scatter-add transpose.
+    matmul instead of the (slow on TPU) scatter-add transpose.  Pass
+    ``precision=jax.lax.Precision.HIGHEST`` to keep the BACKWARD
+    accumulation unrounded (f32 cotangents through an asymmetric-precision
+    einsum) — the forward is exact either way.
 
     Args:
         points: ``[B, N, C]``
@@ -73,7 +92,8 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
         ``[B, ..., C]``
     """
-    return _gather_mxu_vjp(points.shape[1], points, idx)
+    exact = precision == jax.lax.Precision.HIGHEST
+    return _gather_mxu_vjp(points.shape[1], exact, points, idx)
 
 
 def index_points_onehot(points: jax.Array, idx: jax.Array,
@@ -135,7 +155,7 @@ def gather_neighbors(points: jax.Array, idx: jax.Array,
     if jax.default_backend() == "tpu" and rows >= _ONEHOT_MIN_ROWS \
             and N <= 4096:
         return index_points_onehot(points, idx, precision=precision)
-    return index_points(points, idx)
+    return index_points(points, idx, precision=precision)
 
 
 @partial(jax.jit, static_argnames=("npoint", "deterministic"))
