@@ -436,29 +436,63 @@ def cluster_batch(X: jax.Array, *, quantile: float = 0.01,
     sel = run_batch(Xn, bws[:, 0])
 
     if num_candidates > 1:
-        need_retry = jnp.any(sel[3] > max_num_clusters)
+        B = X.shape[0]
+        overflow = sel[3] > max_num_clusters                   # [B]
+        need_retry = jnp.any(overflow)
 
         # the retry branch must avoid the Pallas custom_vjp: reverse-mode
         # through lax.cond linearizes both branches and custom_vjp has no
         # JVP rule; the rare retry path uses the jnp mean-shift instead
-        run_batch_jnp = jax.vmap(
+        run_chunk_jnp = jax.vmap(
             lambda x, bw: run_candidate(x, bw, use_pallas=False))
 
-        def with_retries(prev):
-            out, taken = prev, prev[3] <= max_num_clusters
-            for c in range(1, num_candidates):
-                cand = run_batch_jnp(Xn, bws[:, c])
-                is_last = c == num_candidates - 1
-                fits = cand[3] <= max_num_clusters
-                use = (~taken) & (fits | is_last)
-                out = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(
-                        use.reshape((-1,) + (1,) * (new.ndim - 1)),
-                        new, old), cand, out)
-                taken = taken | use
+        # PER-SHAPE retry (VERDICT r2 item 8): instead of re-running the
+        # whole batch through the slower jnp mean-shift when ANY shape
+        # overflows (a measured 1.75x cliff), sort the offenders to the
+        # front and scan fixed-size chunks of them; chunks whose shapes
+        # all fit take the cheap cond branch, so retry cost scales with
+        # the offender count.  Chunk size divides B exactly (no padding
+        # -> no duplicate scatter indices).
+        R = max((d for d in range(1, min(4, B) + 1) if B % d == 0))
+        n_chunks = B // R
+        # stable ascending argsort of fits (overflow -> 0): offenders
+        # first, original order preserved otherwise
+        perm = jnp.argsort((~overflow).astype(jnp.int32),
+                           stable=True)                        # [B]
+
+        def retry_chunks(prev):
+            def chunk_body(out, i):
+                idx = jax.lax.dynamic_slice(perm, (i * R,), (R,))
+                write = overflow[idx]                          # [R]
+
+                def do(out):
+                    x_c = Xn[idx]
+                    bw_c = bws[idx]
+                    old = jax.tree_util.tree_map(
+                        lambda a: a[idx], out)
+                    new, taken = old, ~write
+                    for c in range(1, num_candidates):
+                        cand = run_chunk_jnp(x_c, bw_c[:, c])
+                        is_last = c == num_candidates - 1
+                        fits = cand[3] <= max_num_clusters
+                        use = (~taken) & (fits | is_last)
+                        new = jax.tree_util.tree_map(
+                            lambda n_, o_: jnp.where(
+                                use.reshape((-1,) + (1,) *
+                                            (n_.ndim - 1)), n_, o_),
+                            cand, new)
+                        taken = taken | use
+                    return jax.tree_util.tree_map(
+                        lambda a, n_: a.at[idx].set(n_), out, new)
+
+                out = jax.lax.cond(jnp.any(write), do, lambda o: o, out)
+                return out, None
+
+            out, _ = jax.lax.scan(chunk_body, prev,
+                                  jnp.arange(n_chunks))
             return out
 
-        sel = jax.lax.cond(need_retry, with_retries, lambda p: p, sel)
+        sel = jax.lax.cond(need_retry, retry_chunks, lambda p: p, sel)
 
     centers, valid, labels, n_distinct, bw = sel
 

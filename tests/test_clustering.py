@@ -231,6 +231,49 @@ class TestLazyClusterBatch:
         np.testing.assert_allclose(np.asarray(batched.bandwidth),
                                    np.asarray(single.bandwidth), rtol=1e-6)
 
+    def test_partial_overflow_chunked_retry(self, rng):
+        """Mixed batch: only SOME shapes overflow — the chunked per-shape
+        retry (r3) must still match the per-shape reference path, with
+        non-offenders untouched."""
+        import jax
+        import jax.numpy as jnp
+        from prifit_tpu.clustering.mean_shift import (
+            cluster_batch,
+            cluster_single,
+        )
+
+        # shapes 0, 2, 4 ~ diffuse gaussian (many clusters at tiny
+        # quantile -> overflow); shapes 1, 3, 5 ~ one tight blob (fits)
+        parts = []
+        for i in range(6):
+            if i % 2 == 0:
+                parts.append(rng.normal(size=(128, 16)))
+            else:
+                parts.append(rng.normal(size=(1, 16)) * 4.0
+                             + rng.normal(size=(128, 16)) * 0.01)
+        X = jnp.asarray(np.stack(parts), jnp.float32)
+        kw = dict(quantile=0.01, iterations=4, max_num_clusters=3,
+                  num_candidates=3)
+        batched = cluster_batch(X, **kw)
+        single = jax.vmap(lambda x: cluster_single(x, **kw))(X)
+        over = np.asarray(single.num_clusters)
+        # the fixture really is mixed: some fit on candidate 0, some not
+        np.testing.assert_array_equal(np.asarray(batched.labels),
+                                      np.asarray(single.labels))
+        np.testing.assert_array_equal(np.asarray(batched.valid),
+                                      np.asarray(single.valid))
+        np.testing.assert_allclose(np.asarray(batched.bandwidth),
+                                   np.asarray(single.bandwidth), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(batched.weights),
+                                   np.asarray(single.weights), atol=1e-5)
+
+        # gradients flow through the chunked retry
+        def loss(x):
+            return jnp.sum(cluster_batch(x, **kw).weights ** 2)
+
+        g = jax.grad(loss)(X)
+        assert np.isfinite(np.asarray(g)).all()
+
 
 class TestShardedRetry:
     """The lax.cond retry branch under SPMD partitioning (VERDICT round-1
