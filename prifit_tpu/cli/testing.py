@@ -14,6 +14,7 @@ from prifit_tpu.cli.train_partseg import build_model
 from prifit_tpu.data import DataLoader, PartNormalDataset
 from prifit_tpu.eval.miou import evaluation, make_eval_forward
 from prifit_tpu.models import get_module
+from prifit_tpu.parallel import make_data_mesh, shard_batch
 from prifit_tpu.train.checkpoint import restore_params_only
 from prifit_tpu.train.state import create_train_state
 
@@ -36,9 +37,14 @@ def main(args):
         normal_channel=args.normal, rng=np.random.default_rng(args.seed))
     print(f"The number of test data is: {len(eval_ds)}")
     eval_loader = DataLoader(eval_ds, args.batch_size, shuffle=False,
-                             drop_last=False)
+                             drop_last=False, num_workers=args.num_workers)
+    # batch-sharded forward (reference evaluates under DataParallel,
+    # testing.py:96-98); tail batches are padded to batch_size
+    mesh = make_data_mesh(args.batch_size)
     forward = make_eval_forward(model, state.variables())
-    return evaluation(forward, eval_loader, num_parts=args.num_parts)
+    return evaluation(forward, eval_loader, num_parts=args.num_parts,
+                      place=lambda b: shard_batch(mesh, b),
+                      pad_to=args.batch_size)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,39 @@ def mean_iou_one_sample(pred: np.ndarray, target: np.ndarray,
     return float(np.mean(ious))
 
 
+def _bincount_rows(labels: np.ndarray, num_parts: int) -> np.ndarray:
+    """Per-row bincount: ``[B, N]`` int labels -> ``[B, num_parts]``."""
+    B = labels.shape[0]
+    off = np.arange(B)[:, None] * num_parts
+    return np.bincount((labels + off).ravel(),
+                       minlength=B * num_parts).reshape(B, num_parts)
+
+
+def batch_shape_ious(pred: np.ndarray, target: np.ndarray,
+                     num_parts: int = 50):
+    """Vectorized per-shape mean part IoU (``testing.py:189-201``).
+
+    Replaces the per-shape per-part Python loop with one ``[B, num_parts]``
+    masked computation (same math as :func:`mean_iou_one_sample`,
+    including the absent-part => IoU 1 rule).
+
+    Returns:
+        (per_shape_iou [B], cat_idx [B], inter [B, P], cnt_tgt [B, P])
+        — the count matrices feed the running accuracy counters.
+    """
+    cat_of_part, part_mask = _category_tables(num_parts)
+    cnt_t = _bincount_rows(target, num_parts)
+    cnt_p = _bincount_rows(pred, num_parts)
+    match = np.where(pred == target, target, num_parts)
+    inter = _bincount_rows(match, num_parts + 1)[:, :num_parts]
+    union = cnt_t + cnt_p - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    cat_idx = cat_of_part[target[:, 0]]
+    m = part_mask[cat_idx]                                  # [B, P] bool
+    per_shape = (iou * m).sum(1) / m.sum(1)
+    return per_shape, cat_idx, inter, cnt_t
+
+
 def make_eval_forward(model, variables, **apply_kwargs):
     """Jitted eval forward returning seg log-probs.
 
@@ -93,6 +126,7 @@ def make_eval_forward(model, variables, **apply_kwargs):
 def evaluation(forward, data_loader, *, num_parts: int = 50,
                metrics: dict | None = None, epoch: int = 0,
                to_categorical_fn=None, chamfer_values=(),
+               place=None, pad_to: int | None = None,
                log=print) -> dict:
     """Full test-set evaluation (reference ``evaluation``, testing.py:49).
 
@@ -104,13 +138,19 @@ def evaluation(forward, data_loader, *, num_parts: int = 50,
             standalone run.
         chamfer_values: optional per-batch chamfer losses to average into
             the metrics (the reference model returns 0 in eval mode).
+        place: optional device-placement fn for ``(points, cls_onehot)``
+            — pass a ``shard_batch`` closure to run the forward
+            batch-sharded over a mesh (the reference evaluates under
+            DataParallel too, ``testing.py:96-98``).
+        pad_to: pad short tail batches (``drop_last=False``) up to this
+            size by repeating the last shape, so the sharded/jitted
+            forward sees one static shape; padded rows are dropped from
+            every metric.
     Returns:
         metrics dict with accuracy / class_avg_accuracy / class_avg_iou /
         instance_avg_iou / chamfer_loss (+ best_* when tracking).
     """
     from prifit_tpu.models.common import to_categorical
-
-    cat_of_part, _ = _category_tables(num_parts)
 
     total_correct = 0
     total_seen = 0
@@ -119,23 +159,33 @@ def evaluation(forward, data_loader, *, num_parts: int = 50,
     shape_ious = {cat: [] for cat in SEG_CLASSES}
 
     for points, cls, target in data_loader:
-        points = jnp.asarray(points)
-        cls_onehot = to_categorical(jnp.asarray(cls))
+        b0 = points.shape[0]
+        if pad_to is not None and b0 < pad_to:
+            rep = [1] * (b0 - 1) + [pad_to - b0 + 1]
+            points = np.repeat(points, rep, axis=0)
+            cls = np.repeat(np.asarray(cls), rep, axis=0)
+        points = np.ascontiguousarray(points, np.float32)
+        cls_onehot = np.asarray(to_categorical(jnp.asarray(cls)))
+        if place is not None:
+            points, cls_onehot = place((points, cls_onehot))
+        else:
+            points, cls_onehot = jnp.asarray(points), jnp.asarray(cls_onehot)
         logits = forward(points, cls_onehot)
+        first = np.repeat(target[:, 0], rep, axis=0) \
+            if pad_to is not None and b0 < pad_to else target[:, 0]
         pred = category_masked_argmax(
-            logits, jnp.asarray(target[:, 0].astype(np.int32)), num_parts)
-        pred = np.asarray(pred)
+            logits, jnp.asarray(first.astype(np.int32)), num_parts)
+        pred = np.asarray(pred)[:b0]
 
+        per_shape, cat_idx, inter, cnt_t = batch_shape_ious(
+            pred, target, num_parts)
         total_correct += int((pred == target).sum())
         total_seen += target.size
-        for l in range(num_parts):
-            total_seen_class[l] += np.sum(target == l)
-            total_correct_class[l] += np.sum((pred == l) & (target == l))
-
-        for i in range(target.shape[0]):
-            cat = CATEGORY_NAMES[cat_of_part[target[i, 0]]]
-            shape_ious[cat].append(
-                mean_iou_one_sample(pred[i], target[i], cat))
+        total_seen_class += cnt_t.sum(0)
+        total_correct_class += inter.sum(0)
+        for ci in np.unique(cat_idx):
+            shape_ious[CATEGORY_NAMES[ci]].extend(
+                per_shape[cat_idx == ci].tolist())
 
     all_shape_ious = [iou for v in shape_ious.values() for iou in v]
     cat_means = {cat: float(np.mean(v)) for cat, v in shape_ious.items()
