@@ -109,6 +109,15 @@ def parse_args(argv=None):
         help="loader worker threads (the reference hard-codes "
              "DataLoader(num_workers=4), train_partseg_shapenet.py:178); "
              "0 = synchronous.  Batches are bit-identical either way")
+    add("--epoch_iters", type=int, default=0,
+        help="override iterations per epoch (0 = reference semantics: "
+             "len(selfsup loader) under --selfsup, else len(train "
+             "loader)).  Lets a supervised-only arm run the exact epoch "
+             "structure of a joint run for matched-budget comparisons")
+    add("--sp_points", type=int, default=1,
+        help="shard the self-sup point axis over this many devices "
+             "(2-D (data, points) mesh; parallel/point_sp.py ring "
+             "mean-shift + psum fitting).  1 = batch-only sharding")
     add("--encoder_dtype", type=str, default="auto",
         choices=["auto", "f32", "bf16", "sa_bf16"],
         help="encoder MLP compute dtype. auto == f32 (bf16 destabilizes "

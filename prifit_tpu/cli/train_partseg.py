@@ -59,6 +59,7 @@ from prifit_tpu.train.state import create_train_state, selfsup_init_kwargs
 from prifit_tpu.train.steps import (
     make_contrastive_step,
     make_selfsup_step,
+    make_selfsup_step_point_sp,
     make_supervised_step,
 )
 from prifit_tpu.utils.tblog import ScalarWriter
@@ -270,8 +271,33 @@ def main(args):
             log("No existing model, starting training from scratch...")
 
     # ---------------------------------------------------------- steps
-    mesh = make_data_mesh(args.batch_size)
-    log(f"Data-parallel mesh over {mesh.size} device(s)")
+    # Under --sp_points the 2-D (data, points) mesh is THE mesh: the
+    # supervised step and eval shard their batch over its data axis
+    # (replicated over points), so the train state lives on one device
+    # set for every step.
+    sp_mesh = None
+    use_sp = (args.selfsup and args.ss_loss != "contrastive"
+              and args.sp_points > 1)
+    if use_sp:
+        from prifit_tpu.parallel.point_sp import make_dp_sp_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % args.sp_points != 0:
+            raise SystemExit(f"--sp_points {args.sp_points} must divide "
+                             f"the device count ({n_dev})")
+        if args.npoint % args.sp_points != 0:
+            raise SystemExit(f"--sp_points {args.sp_points} must divide "
+                             f"--npoint ({args.npoint})")
+        n_dp = n_dev // args.sp_points
+        if args.batch_size % n_dp != 0:
+            raise SystemExit(f"--batch_size {args.batch_size} must be "
+                             f"divisible by the data axis ({n_dp})")
+        sp_mesh = make_dp_sp_mesh(n_dp, args.sp_points)
+        mesh = sp_mesh
+        log(f"Point-SP mesh: data={n_dp} x points={args.sp_points}")
+    else:
+        mesh = make_data_mesh(args.batch_size)
+        log(f"Data-parallel mesh over {mesh.size} device(s)")
     sup_step = make_supervised_step(model, mod.get_loss,
                                     fused_augment=args.fused_augment)
     ss_step = None
@@ -279,6 +305,15 @@ def main(args):
     if args.selfsup and args.ss_loss == "contrastive":
         contrastive_step = make_contrastive_step(
             model, mod.get_selfsup_loss, margin=args.margin)
+    elif use_sp:
+        # point-axis sequence parallelism: encoder DP over the data axis,
+        # O(N^2) fit pipeline sharded over the points axis of the 2-D
+        # mesh (parallel/point_sp.py; ring mean-shift + psum fit)
+        ss_step = make_selfsup_step_point_sp(
+            model, mesh=sp_mesh, quantile=args.quantile,
+            msc_iterations=args.msc_iterations,
+            max_num_clusters=args.max_num_clusters,
+            n_per_prim=args.n_per_prim, if_cuboid=args.if_cuboid)
     elif args.selfsup:
         # NOTE the reference gates the convex loss on
         # --include_convex_loss even under --selfsup (train:444) and its
@@ -314,6 +349,8 @@ def main(args):
             yield from loader
 
     def place(batch):
+        # under --sp_points this is the 2-D mesh: leading-axis sharding
+        # over its data axis, replicated over points
         return shard_batch(mesh, batch)
 
     def np_onehot(cls):
@@ -402,8 +439,8 @@ def main(args):
         log(f"Epoch {epoch + 1}/{args.epoch}: lr {lr:.6f} "
             f"bn-momentum {momentum:.4f} lambda {lmbda:.4f}")
 
-        num_iters = len(selfsup_loader) if args.selfsup \
-            else len(train_loader)
+        num_iters = args.epoch_iters or (
+            len(selfsup_loader) if args.selfsup else len(train_loader))
         mean_correct, sup_losses, ss_losses = [], [], []
 
         for i in range(num_iters):
@@ -464,7 +501,8 @@ def main(args):
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
             prev_best = best_metrics["best_class_avg_miou"]
             run_evaluation(args, epoch, model, state, log,
-                           metrics=best_metrics, cache=eval_cache)
+                           metrics=best_metrics, cache=eval_cache,
+                           mesh=mesh)
             if best_metrics["best_class_avg_miou"] > prev_best:
                 # checkpoint the actual best-mIoU model
                 save_checkpoint(ckpt_dir, "best_model", epoch=epoch,
@@ -480,7 +518,8 @@ def main(args):
 
     # final evaluation (reference train:487)
     metrics = run_evaluation(args, args.epoch - 1, model, state, log,
-                             metrics=best_metrics, cache=eval_cache)
+                             metrics=best_metrics, cache=eval_cache,
+                             mesh=mesh)
     if not osp.exists(osp.join(ckpt_dir, "best_model")):
         save_checkpoint(ckpt_dir, "best_model", epoch=args.epoch - 1,
                         state=state, extra={
@@ -492,7 +531,7 @@ def main(args):
 
 
 def run_evaluation(args, epoch, model, state, log, metrics=None,
-                   cache=None):
+                   cache=None, mesh=None):
     """Evaluate; dataset/loader/jitted forward are built once and cached
     (``cache`` dict) — the forward takes variables as an ARGUMENT so
     parameter updates between evaluations don't retrace."""
@@ -503,8 +542,19 @@ def run_evaluation(args, epoch, model, state, log, metrics=None,
             normal_channel=args.normal,
             rng=np.random.default_rng(args.seed))
         cache["loader"] = DataLoader(eval_ds, args.batch_size,
-                                     shuffle=False, drop_last=False)
+                                     shuffle=False, drop_last=False,
+                                     num_workers=args.num_workers)
         log(f"The number of test data is: {len(eval_ds)}")
+
+        # batch-sharded eval forward over the data mesh — the reference
+        # evaluates under DataParallel too (testing.py:96-98); short tail
+        # batches (drop_last=False) are padded up to batch_size by
+        # evaluation() so there is exactly one compiled shape.  The
+        # training mesh is reused when given so the state's device set
+        # is consistent across steps (required under --sp_points).
+        eval_mesh = mesh if mesh is not None \
+            else make_data_mesh(args.batch_size)
+        cache["place"] = lambda b: shard_batch(eval_mesh, b)
 
         @jax.jit
         def forward(variables, points, cls_onehot):
@@ -516,7 +566,7 @@ def run_evaluation(args, epoch, model, state, log, metrics=None,
     return evaluation(
         lambda p, c: cache["forward"](variables, p, c),
         cache["loader"], num_parts=args.num_parts, epoch=epoch, log=log,
-        metrics=metrics)
+        metrics=metrics, place=cache["place"], pad_to=args.batch_size)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ class SegOutput(NamedTuple):
     convex: Any = None             # ConvexLossOutput | None
     trans_feat: Any = None         # STN feature transform (pointnet only)
     recon_points: Any = None       # AtlasNet reconstruction | None
+    embedding: Any = None          # [B, N, 128] extra_conv_emb output
+                                   # (set when embed=True or convex loss)
 
 
 def nll_loss(pred_logprob: jax.Array, target: jax.Array) -> jax.Array:

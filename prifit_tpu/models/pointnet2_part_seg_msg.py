@@ -209,7 +209,7 @@ class get_model(nn.Module):
                          hidden=hidden,
                          feat=feat, total_loss=total_loss,
                          chamfer_loss=chamfer, convex=convex_out,
-                         recon_points=recon)
+                         recon_points=recon, embedding=feat_embed)
 
 
 def get_loss(pred, target, trans_feat=None):

@@ -127,6 +127,56 @@ def make_selfsup_step(model, *, fused_augment: bool = False,
     return step
 
 
+def make_selfsup_step_point_sp(model, *, mesh, quantile: float = 0.05,
+                               msc_iterations: int = 10,
+                               max_num_clusters: int = 25,
+                               n_per_prim: int = 256,
+                               if_cuboid: bool = False) -> Callable:
+    """Self-sup convex-loss step with the POINT axis sequence-parallel.
+
+    The encoder runs data-parallel over the ``data`` axis of a 2-D
+    ``(data, points)`` mesh; the O(N^2) fit pipeline (ring mean-shift,
+    psum-reduced fitting, sharded chamfer — ``parallel/point_sp.py``)
+    shards the point axis over the ``points`` axis.  This is the scaling
+    path for clouds too large for one chip's kernel matrix (SURVEY §5's
+    sequence-length analog); reachable from the trainer CLI via
+    ``--sp_points``.
+
+    Deviations from :func:`make_selfsup_step` (both documented in
+    ``parallel/point_sp.py``): no quantile-doubling retry (pick a
+    quantile that fits the slot budget) and no entropy/intersection
+    terms, so the reference's beta decay state is untouched.
+
+    Returns the same signature as :func:`make_selfsup_step`.
+    """
+    from prifit_tpu.parallel.point_sp import convex_fit_loss_point_sharded
+
+    @jax.jit
+    def step(state, points, chamfer_points, cls_onehot, lr, bn_momentum,
+             lmbda, key):
+        rngs = _split_rngs(key, ("sampling", "dropout"))
+
+        def compute(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, cls_onehot, train=True, bn_momentum=bn_momentum,
+                rngs=rngs, embed=True, mutable=["batch_stats"])
+            loss, _ = convex_fit_loss_point_sharded(
+                out.embedding, points[..., :3], chamfer_points,
+                mesh=mesh, quantile=quantile, iterations=msc_iterations,
+                max_num_clusters=max_num_clusters, n_per_prim=n_per_prim,
+                cuboid=if_cuboid)
+            return loss * lmbda, (updates, loss)
+
+        (ss_loss, (updates, chamfer)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, lr)
+        state = state.replace(batch_stats=updates["batch_stats"])
+        return state, {"ss_loss": ss_loss, "chamfer_loss": chamfer}
+
+    return step
+
+
 def make_contrastive_step(model, selfsup_loss_fn: Callable,
                           margin: float = 0.5) -> Callable:
     """Self-sup step for the original ACD pairwise contrastive loss

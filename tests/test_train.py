@@ -241,6 +241,65 @@ class TestEval:
         assert m["accuracy"] == 1.0
         assert m["instance_avg_iou"] == 1.0
 
+    def test_batch_shape_ious_matches_scalar(self):
+        """Vectorized per-shape IoU == the scalar reference-semantics fn."""
+        from prifit_tpu.eval.miou import (
+            CATEGORY_NAMES,
+            _category_tables,
+            batch_shape_ious,
+        )
+
+        rng = np.random.default_rng(3)
+        cat_of_part, _ = _category_tables(50)
+        # shapes from several categories, predictions inside the category
+        firsts = [0, 12, 24, 30, 47, 41]
+        preds, targets = [], []
+        for f in firsts:
+            cat = CATEGORY_NAMES[cat_of_part[f]]
+            from prifit_tpu.data.shapenet import SEG_CLASSES
+            parts = SEG_CLASSES[cat]
+            t = rng.choice(parts, size=64)
+            t[0] = f
+            p = rng.choice(parts, size=64)
+            preds.append(p)
+            targets.append(t)
+        pred = np.stack(preds)
+        target = np.stack(targets)
+        per_shape, cat_idx, inter, cnt_t = batch_shape_ious(pred, target)
+        for i, f in enumerate(firsts):
+            cat = CATEGORY_NAMES[cat_of_part[f]]
+            assert cat_idx[i] == cat_of_part[f]
+            expected = mean_iou_one_sample(pred[i], target[i], cat)
+            assert abs(per_shape[i] - expected) < 1e-12
+        np.testing.assert_array_equal(cnt_t.sum(1), 64)
+
+    def test_sharded_eval_matches_unsharded(self):
+        """Batch-sharded eval (pad-and-mask tail) == unsharded metrics."""
+        from prifit_tpu.parallel import make_data_mesh, shard_batch
+
+        rng = np.random.default_rng(5)
+        W = jnp.asarray(rng.normal(size=(3, 50)), jnp.float32)
+
+        def forward(points, cls):
+            return points @ W
+
+        batches = []
+        for bs in (4, 4, 2):        # ragged tail (drop_last=False)
+            pts = rng.normal(size=(bs, 32, 3)).astype(np.float32)
+            target = rng.integers(0, 4, (bs, 32)).astype(np.int64)
+            batches.append((pts, np.zeros((bs, 1), np.int64), target))
+
+        plain = evaluation(jax.jit(forward), iter(batches),
+                           log=lambda *_: None)
+        mesh = make_data_mesh(4)
+        assert mesh.size > 1
+        sharded = evaluation(
+            jax.jit(forward), iter(batches), log=lambda *_: None,
+            place=lambda b: shard_batch(mesh, b), pad_to=4)
+        for k in plain:
+            assert np.isclose(plain[k], sharded[k], atol=1e-6), \
+                (k, plain[k], sharded[k])
+
 
 class TestEndToEndCLI:
     def test_tiny_training_run(self, tmp_path):
@@ -264,6 +323,29 @@ class TestEndToEndCLI:
         metrics = main(args)
         assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
         assert osp.isdir(str(tmp_path / "log"))
+
+    def test_sp_points_training_run(self, tmp_path):
+        """--sp_points routes the self-sup step through the point-SP
+        (ring mean-shift + psum fit) path on a 2-D mesh."""
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.train_partseg import main
+
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=6,
+                                   n_points=64)
+        acd = make_acd_fixture(str(tmp_path / "acd"), n_shapes=6,
+                               n_points=96)
+        args = parse_args([
+            "--model", "pointnet2_part_seg_msg", "--epoch", "1",
+            "--batch_size", "2", "--npoint", "48", "--k_shot", "2",
+            "--selfsup", "--ss_dataset", "acd", "--ss_path", acd,
+            "--data_root", sn, "--quantile", "0.2",
+            "--msc_iterations", "2", "--max_num_clusters", "4",
+            "--n_per_prim", "16", "--chamfer_npoints", "96",
+            "--sp_points", "4",
+            "--experiment_root", str(tmp_path / "log"),
+            "--learning_rate", "0.005"])
+        metrics = main(args)
+        assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
 
     def test_fitting_demo(self):
         from prifit_tpu.cli.args_parser import parse_args

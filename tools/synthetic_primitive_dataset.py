@@ -40,6 +40,25 @@ HARD_CATS = {"Motorbike": "03790512", "Lamp": "03636649"}
 HARD_PART_OFFSET = {"Motorbike": 30, "Lamp": 24}
 HARD_POOL = {"Motorbike": 6, "Lamp": 4}
 
+# lift mode (round 3): the paper's proportions — many categories, per-shape
+# part subsets, and 1000s of UNLABELED shapes drawn from the SAME category
+# pools (cross-shape part reuse: real ACD components repeat across shapes
+# of a class; make_primitive_acd instead draws every shape from a fresh
+# random template, so its unlabeled geometry is unrelated to the labeled
+# categories).  Real ShapeNet-Part synset ids; global part-id ranges come
+# from SEG_CLASSES (prifit_tpu/data/shapenet.py:35-42).
+SYNSETS = {
+    "Airplane": "02691156", "Bag": "02773838", "Cap": "02954340",
+    "Car": "02958343", "Chair": "03001627", "Earphone": "03261776",
+    "Guitar": "03467517", "Knife": "03624134", "Lamp": "03636649",
+    "Laptop": "03642806", "Motorbike": "03790512", "Mug": "03797390",
+    "Pistol": "03948459", "Rocket": "04099429", "Skateboard": "04225987",
+    "Table": "04379243",
+}
+# categories by part-vocabulary size (>= 3 parts so subsets vary)
+LIFT_ORDER = ["Motorbike", "Airplane", "Car", "Chair", "Lamp", "Guitar",
+              "Earphone", "Rocket", "Skateboard", "Table", "Pistol"]
+
 
 def _rot(rng):
     q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
@@ -161,11 +180,102 @@ def make_primitive_acd(root, n_shapes=80, n_points=2048, seed=1,
     return root
 
 
-if __name__ == "__main__":
-    import sys
+def _subset_template(rng, pool):
+    """Per-shape random part subset from a category pool + strong jitter
+    (the hard-mode shape constructor, shared by labeled and ACD trees)."""
+    pool_n = len(pool)
+    present = rng.random(pool_n) < 0.6
+    if present.sum() < 2:
+        present[rng.choice(pool_n, 2, replace=False)] = True
+    sub_ids = np.flatnonzero(present)
+    tpl = [dict(r=pool[j]["r"] * rng.uniform(0.5, 1.6, 3),
+                c=pool[j]["c"] + rng.normal(scale=0.4, size=3),
+                R=pool[j]["R"] @ _rot_small(rng, 0.5))
+           for j in sub_ids]
+    return sub_ids, tpl
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prim_data"
-    hard = "--hard" in sys.argv
-    make_primitive_shapenet(osp.join(out, "shapenet"), hard=hard)
-    make_primitive_acd(osp.join(out, "acd"))
-    print("written to", out, "(hard)" if hard else "")
+
+def make_lift_benchmark(root, n_cats=8, n_per_cat=40, n_acd=2000,
+                        n_points=2048, seed=0):
+    """Paper-proportioned benchmark: n_cats hard-mode categories + a large
+    ACD tree drawn from the SAME category pools.
+
+    The lift regime (VERDICT r2 item 1): many unlabeled shapes sharing the
+    labeled categories' primitive layouts, few labels.  Writes
+    ``root/shapenet`` (labeled, hard-style subsets) and ``root/acd``
+    (unlabeled .npy, component id = primitive instance).  Everything is
+    deterministic given ``seed``; labeled and unlabeled shapes are drawn
+    from independent rng streams (disjoint by construction).
+    """
+    from prifit_tpu.data.shapenet import SEG_CLASSES
+
+    names = LIFT_ORDER[:n_cats]
+    rng_pool = np.random.default_rng(seed)
+    pools = {n: _template(rng_pool, len(SEG_CLASSES[n])) for n in names}
+
+    # ---------------- labeled ShapeNet-Part tree
+    sn_root = osp.join(root, "shapenet")
+    os.makedirs(osp.join(sn_root, "train_test_split"), exist_ok=True)
+    with open(osp.join(sn_root, "synsetoffset2category.txt"), "w") as f:
+        for n in names:
+            f.write(f"{n}\t{SYNSETS[n]}\n")
+    rng_lab = np.random.default_rng(seed + 1)
+    splits = {"train": [], "val": [], "test": []}
+    for name in names:
+        synset = SYNSETS[name]
+        offset = SEG_CLASSES[name][0]
+        d = osp.join(sn_root, synset)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_cat):
+            token = f"{name.lower()}{i:04d}"
+            sub_ids, tpl = _subset_template(rng_lab, pools[name])
+            xyz, nrm, part = _sample_shape(rng_lab, tpl, n_points)
+            seg = sub_ids[part] + offset
+            data = np.concatenate(
+                [xyz, nrm, seg[:, None]], axis=1).astype(np.float32)
+            np.savetxt(osp.join(d, token + ".txt"), data, fmt="%.6f")
+            split = ("train" if i < n_per_cat // 2 else
+                     "val" if i < 3 * n_per_cat // 4 else "test")
+            splits[split].append(f"shape_data/{synset}/{token}")
+    for split, items in splits.items():
+        with open(osp.join(sn_root, "train_test_split",
+                           f"shuffled_{split}_file_list.json"), "w") as f:
+            json.dump(items, f)
+
+    # ---------------- unlabeled ACD tree from the same pools
+    acd_root = osp.join(root, "acd")
+    d = osp.join(acd_root, "shapes")
+    os.makedirs(d, exist_ok=True)
+    rng_acd = np.random.default_rng(seed + 2)
+    for i in range(n_acd):
+        name = names[int(rng_acd.integers(len(names)))]
+        _, tpl = _subset_template(rng_acd, pools[name])
+        xyz, _, part = _sample_shape(rng_acd, tpl, n_points)
+        data = np.concatenate(
+            [xyz, part[:, None]], axis=1).astype(np.float32)
+        np.save(osp.join(d, f"acd{i:05d}.npy"), data)
+    return sn_root, acd_root
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="/tmp/prim_data")
+    ap.add_argument("--hard", action="store_true")
+    ap.add_argument("--lift", action="store_true",
+                    help="paper-proportioned benchmark (make_lift_benchmark)")
+    ap.add_argument("--n_cats", type=int, default=8)
+    ap.add_argument("--n_per_cat", type=int, default=40)
+    ap.add_argument("--n_acd", type=int, default=2000)
+    ap.add_argument("--n_points", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    if a.lift:
+        make_lift_benchmark(a.out, n_cats=a.n_cats, n_per_cat=a.n_per_cat,
+                            n_acd=a.n_acd, n_points=a.n_points, seed=a.seed)
+        print("lift benchmark written to", a.out)
+    else:
+        make_primitive_shapenet(osp.join(a.out, "shapenet"), hard=a.hard)
+        make_primitive_acd(osp.join(a.out, "acd"))
+        print("written to", a.out, "(hard)" if a.hard else "")
