@@ -92,3 +92,39 @@ class TestGuardExpParity:
         g = jax.grad(lambda x: jnp.sum(
             mean_shift_step_pallas(x, x, bw2, True) ** 2))(X)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestPallasGather:
+    def test_forward_bit_exact(self, rng):
+        import jax.numpy as jnp
+        from prifit_tpu.ops.pallas.gather import gather_rows_pallas
+
+        B, N, C, R = 3, 256, 5, 600      # R % N != 0, odd C
+        pts = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, N, size=(B, R)), jnp.int32)
+        out = gather_rows_pallas(pts, idx, interpret=True)
+        ref = np.stack([np.asarray(pts)[b][np.asarray(idx)[b]]
+                        for b in range(B)])
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    def test_backward_matches_scatter_add(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import prifit_tpu.ops.pallas.gather as G
+        from prifit_tpu.ops.sampling import index_points
+
+        B, N, C = 3, 256, 5
+        pts = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, N, size=(B, 60, 10)), jnp.int32)
+        orig = G.gather_rows_pallas
+        G.gather_rows_pallas = \
+            lambda p, i, interpret=False: orig(p, i, interpret=True)
+        try:
+            g1 = jax.grad(
+                lambda p: jnp.sum(G.index_points_dg(p, idx) ** 2))(pts)
+        finally:
+            G.gather_rows_pallas = orig
+        g2 = jax.grad(
+            lambda p: jnp.sum(index_points(p, idx) ** 2))(pts)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-4)
