@@ -118,6 +118,10 @@ def parse_args(argv=None):
         help="shard the self-sup point axis over this many devices "
              "(2-D (data, points) mesh; parallel/point_sp.py ring "
              "mean-shift + psum fitting).  1 = batch-only sharding")
+    add("--stage_dtypes", type=str, default="",
+        help="per-encoder-stage dtype overrides for the bf16 bisection, "
+             "e.g. 'sa1:bf16,fp2:q' (bf16 = stage MLP in bf16; q = f32 "
+             "compute with output quantized to bf16, exact gradients)")
     add("--encoder_dtype", type=str, default="auto",
         choices=["auto", "f32", "bf16", "sa_bf16"],
         help="encoder MLP compute dtype. auto == f32 (bf16 destabilizes "

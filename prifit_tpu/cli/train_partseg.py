@@ -119,6 +119,8 @@ def build_model(args, mod):
                              l2_norm=args.l2_norm,
                              reconstruct=args.reconstruct, **dtype_kw,
                              **kwargs)
+    if getattr(args, "stage_dtypes", ""):
+        dtype_kw["stage_dtypes"] = args.stage_dtypes
     return mod.get_model(num_parts=args.num_parts, l2_norm=args.l2_norm,
                          reconstruct=args.reconstruct,
                          extra_layers=args.extra_layers, **dtype_kw,

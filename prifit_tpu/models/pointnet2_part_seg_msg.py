@@ -56,6 +56,13 @@ class get_model(nn.Module):
     # semantics deviation) vs the reference's first-k-by-index
     # query_ball_point (ops/sampling.py; A/B in STATUS.md)
     fused_ball_query: bool = True
+    # per-stage dtype overrides for the bf16-instability bisection
+    # (STATUS.md): "sa1:bf16,fp2:q,..." — `bf16` runs the stage's MLP
+    # chain in bf16 (fwd+bwd rounding); `q` keeps the stage f32 but
+    # QUANTIZES its output to bf16 (forward-value rounding with exact
+    # gradients, since the cast pair is identity for autodiff).  Empty =
+    # use compute_dtype for every stage.
+    stage_dtypes: str = ""
 
     def _encoder_dtypes(self):
         """(SA dtype, FP dtype) for the encoder MLP chains.
@@ -74,6 +81,30 @@ class get_model(nn.Module):
         if self.compute_dtype == "sa_bf16":
             return jnp.bfloat16, None
         return None, None
+
+    def _stage_cfg(self, stage, default_dtype):
+        """(mlp dtype, quantize_output) for one encoder stage."""
+        if not self.stage_dtypes:
+            return default_dtype, False
+        spec = dict(kv.split(":") for kv in self.stage_dtypes.split(",")
+                    if kv)
+        mode = spec.get(stage, "f32")
+        if mode in ("bf16", "bfloat16"):
+            return jnp.bfloat16, False
+        if mode == "q":
+            return None, True
+        return None, False
+
+    @staticmethod
+    def _maybe_quant(x, quant):
+        """bf16-round forward VALUES only; backward is exactly identity
+        (straight-through — a plain cast pair would round the cotangent
+        at the bf16 aval in between)."""
+        if not quant:
+            return x
+        x = x.astype(jnp.float32)
+        rounded = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return x + jax.lax.stop_gradient(rounded - x)
 
     @nn.compact
     def __call__(self, xyz, cls_label, chamfer_points=None, *,
@@ -95,30 +126,42 @@ class get_model(nn.Module):
         l0_points = xyz
         l0_xyz = xyz[..., :3]
 
+        dt1, q1 = self._stage_cfg("sa1", dt_sa)
+        dt2, q2 = self._stage_cfg("sa2", dt_sa)
+        dt3, q3 = self._stage_cfg("sa3", dt_sa)
+
         l1_xyz, l1_points = SetAbstractionMsg(
             512, [0.1, 0.2, 0.4], [32, 64, 128],
-            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt_sa,
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt1,
             fused=self.fused_ball_query, name="sa1")(l0_xyz, l0_points, train, bn_momentum)
+        l1_points = self._maybe_quant(l1_points, q1)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.4, 0.8], [64, 128],
-            [[128, 128, 256], [128, 196, 256]], an, dtype=dt_sa,
+            [[128, 128, 256], [128, 196, 256]], an, dtype=dt2,
             fused=self.fused_ball_query, name="sa2")(
                 l1_xyz, l1_points, train, bn_momentum)
+        l2_points = self._maybe_quant(l2_points, q2)
         l3_xyz, l3_points = SetAbstraction(
             None, None, None, [256, 512, 1024], group_all=True,
-            axis_name=an, dtype=dt_sa, name="sa3")(
+            axis_name=an, dtype=dt3, name="sa3")(
                 l2_xyz, l2_points, train, bn_momentum)
+        l3_points = self._maybe_quant(l3_points, q3)
 
-        l2_points = FeaturePropagation([256, 256], an, dtype=dt_fp,
+        dtf3, qf3 = self._stage_cfg("fp3", dt_fp)
+        dtf2, qf2 = self._stage_cfg("fp2", dt_fp)
+        l2_points = FeaturePropagation([256, 256], an, dtype=dtf3,
                                        name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, train, bn_momentum)
-        l1_points = FeaturePropagation([256, 128], an, dtype=dt_fp,
+        l2_points = self._maybe_quant(l2_points, qf3)
+        l1_points = FeaturePropagation([256, 128], an, dtype=dtf2,
                                        name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_points, train, bn_momentum)
+        l1_points = self._maybe_quant(l1_points, qf2)
 
         cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
         skip = jnp.concatenate([cls_onehot, l0_xyz, l0_points], axis=-1)
 
+        dtf1, qf1 = self._stage_cfg("fp1", dt_fp)
         if self.extra_layers:
             l0_points_ = FeaturePropagation([], an, name="fp1")(
                 l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
@@ -130,9 +173,10 @@ class get_model(nn.Module):
                     fp1_conv1_bn1(nn.Dense(128, name="fp1_conv1")(
                         l0_points_))))))
         else:
-            l0_points = FeaturePropagation([128, 128], an, dtype=dt_fp,
+            l0_points = FeaturePropagation([128, 128], an, dtype=dtf1,
                                            name="fp1")(
                 l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
+            l0_points = self._maybe_quant(l0_points, qf1)
 
         # everything from the head on runs f32 (seg logits, embedding,
         # convex-loss geometry)

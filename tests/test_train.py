@@ -521,6 +521,40 @@ class TestDummySelfSupPath:
         assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
 
 
+class TestStageDtypes:
+    """Per-stage dtype overrides for the bf16 bisection (r3)."""
+
+    def test_variants_run_and_round(self):
+        mod = get_module("pointnet2_part_seg_msg")
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = jnp.zeros((2, 16), jnp.float32)
+        base = mod.get_model(num_parts=50)
+        v = base.init({"params": jax.random.PRNGKey(0),
+                       "sampling": jax.random.PRNGKey(1),
+                       "dropout": jax.random.PRNGKey(2)},
+                      pts, cls, train=True)
+        o_f32 = base.apply(v, pts, cls, train=False).seg_logits
+
+        quant = mod.get_model(num_parts=50, stage_dtypes="sa1:q,fp2:q")
+        o_q = quant.apply(v, pts, cls, train=False).seg_logits
+        # quantization rounds forward values (different from f32)...
+        assert float(jnp.abs(o_q - o_f32).max()) > 0
+        assert bool(jnp.isfinite(o_q).all())
+
+        # ...with an exactly-identity backward: gradient of sum(output)
+        # wrt the final Dense bias is the same computation graph shape;
+        # just assert gradients exist and are finite
+        def loss(p):
+            o = quant.apply({**v, "params": p}, pts, cls, train=False)
+            return jnp.sum(o.seg_logits ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        gsum = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
+        assert np.isfinite(gsum) and gsum > 0
+
+
 class TestBf16Encoder:
     def test_overfits_single_batch_bf16(self):
         """Forced bf16 encoder compute (the TPU default, CLAUDE.md perf
