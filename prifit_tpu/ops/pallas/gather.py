@@ -33,8 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gather_kernel(tab_ref, idx_ref, out_ref):
+    # idx block is the per-batch [n_chunks, N] slab (a (1, 1, N) block
+    # would put a 1 in the second-to-last dim against an n_chunks-sized
+    # array dim, which Mosaic's tiling rules reject); select this grid
+    # step's chunk row dynamically.
+    r = pl.program_id(1)
     tab = tab_ref[0]                                   # [C, N]
-    idx = jnp.broadcast_to(idx_ref[0], tab.shape)      # [C, N]
+    row = idx_ref[0, pl.ds(r, 1)]                      # [1, N]
+    idx = jnp.broadcast_to(row, tab.shape)             # [C, N]
     out_ref[0, 0] = jnp.take_along_axis(
         tab, idx, axis=1, mode="promise_in_bounds")
 
@@ -65,7 +71,7 @@ def gather_rows_pallas(points: jax.Array, idx: jax.Array,
         in_specs=[
             pl.BlockSpec((1, C, N), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b, r: (b, r, 0),
+            pl.BlockSpec((1, n_chunks, N), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, C, N), lambda b, r: (b, r, 0, 0),

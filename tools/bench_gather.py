@@ -2,9 +2,15 @@
 
 Compares, at the SA/FP-layer shapes, the three row-gather strategies:
   native   XLA row gather (row-count-bound, ~157 M rows/s measured r2)
-  onehot   one-hot MXU einsum (the r2 default; exact via asymmetric
-           precision, bound by generating the [rows, N] one-hot)
+  onehot   one-hot MXU einsum with asymmetric precision (the r2 default;
+           exact, bound by generating the [rows, N] one-hot)
   dg       Pallas lane dynamic_gather (ops/pallas/gather.py; bit-exact)
+
+Methodology per CLAUDE.md: chain reps through a data dependence inside
+one jit (XLA hoists loop-invariant scan bodies), reduce through a
+nonlinearity, sync by pulling a scalar, subtract the ~27 ms tunnel round
+trip.  The index argument is chained too (a constant idx would let XLA
+hoist the one-hot construction out of the scan).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_gather.py
 """
@@ -28,16 +34,28 @@ CASES = [
     ("fp2 feats    ", 24, 512, 128, 2048 * 3),
     ("fp1 feats    ", 24, 2048, 128, 2048 * 3),
 ]
+REPS = 10
+RT_S = 0.027
 
 
-def timeit(f, *args, reps=20):
-    out = f(*args)                      # compile
-    _ = np.asarray(out).ravel()[0]
-    t0 = time.time()
-    for _ in range(reps):
-        out = f(*args)
-    _ = np.asarray(out).ravel()[0]
-    return (time.time() - t0) / reps * 1000
+def chained(body, n):
+    """Chain via the idx argument: perturb idx by a data-dependent 0."""
+    def fn(p, idx):
+        def step(carry, _):
+            out = body(p, jnp.minimum(idx + carry, n - 1))
+            s = jnp.sum(out.astype(jnp.float32) ** 2)
+            return (s * 1e-20).astype(jnp.int32), None
+        s, _ = jax.lax.scan(step, jnp.int32(0), None, length=REPS)
+        return s
+    return jax.jit(fn)
+
+
+def timed(f, *args):
+    v = np.asarray(f(*args)).ravel()[0]          # compile + warm
+    t0 = time.perf_counter()
+    v = np.asarray(f(*args)).ravel()[0]
+    del v
+    return (time.perf_counter() - t0 - RT_S) / REPS * 1000
 
 
 def main():
@@ -47,17 +65,19 @@ def main():
         pts = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
         idx = jnp.asarray(rng.integers(0, N, size=(B, R)), jnp.int32)
 
-        native = jax.jit(lambda p, i: index_points(p, i))
-        onehot = jax.jit(lambda p, i: index_points_onehot(
-            p, i, precision=jax.lax.Precision.HIGHEST))
-        dg = jax.jit(lambda p, i: gather_rows_pallas(p, i))
+        native = chained(lambda p, i: index_points(p, i), N)
+        onehot = chained(
+            lambda p, i: index_points_onehot(
+                p, i, precision=(jax.lax.Precision.DEFAULT,
+                                 jax.lax.Precision.HIGHEST)), N)
+        dg = chained(lambda p, i: gather_rows_pallas(p, i), N)
 
-        t_n = timeit(native, pts, idx)
-        t_o = timeit(onehot, pts, idx)
+        t_n = timed(native, pts, idx)
+        t_o = timed(onehot, pts, idx)
         try:
-            out_dg = dg(pts, idx)
-            exact = bool(jnp.array_equal(out_dg, native(pts, idx)))
-            t_d = timeit(dg, pts, idx)
+            out_dg = gather_rows_pallas(pts, idx)
+            exact = bool(jnp.array_equal(out_dg, index_points(pts, idx)))
+            t_d = timed(dg, pts, idx)
         except Exception as e:  # Mosaic may reject a shape
             t_d, exact = float("nan"), False
             print(f"  dg failed: {type(e).__name__}: {str(e)[:150]}")
