@@ -121,6 +121,8 @@ def build_model(args, mod):
                              **kwargs)
     if getattr(args, "stage_dtypes", ""):
         dtype_kw["stage_dtypes"] = args.stage_dtypes
+    if getattr(args, "sa_eval_kernel", "auto") != "auto":
+        dtype_kw["sa_eval_kernel"] = args.sa_eval_kernel
     return mod.get_model(num_parts=args.num_parts, l2_norm=args.l2_norm,
                          reconstruct=args.reconstruct,
                          extra_layers=args.extra_layers, **dtype_kw,

@@ -2,9 +2,19 @@
 
 Rebuilds ``models/pointnet_util.py:160-314`` with the geometry coming from
 ``prifit_tpu.ops``.  Torch's 1x1 Conv2d/Conv1d shared MLPs are plain
-``Dense`` layers over the channel-last axis (identical math, and XLA fuses
+dense layers over the channel-last axis (identical math, and XLA fuses
 the gather -> dense -> max chain).  BN momentum is a traced argument so the
 reference's per-epoch momentum schedule doesn't recompile.
+
+``PointMLP`` and ``GroupedFirstLayer`` own their parameters directly
+(setup-style, flat names) instead of nesting ``nn.Dense``/``BatchNorm``
+submodules: the fused eval kernel (``ops/pallas/fused_sa.py``) needs the
+raw weights and BN statistics to fold the whole grouped-MLP chain into
+VMEM, and flax submodule variables are only reachable by *calling* the
+submodule.  The math is unchanged — ``_dense`` replicates ``nn.Dense``
+(lecun-normal kernel, zero bias, default precision) and ``_bn_forward``
+replicates ``nn/norm.py::BatchNorm`` (torch-convention traced momentum,
+f32 statistics, unbiased running var, optional cross-replica mean).
 
 All modules take ``train: bool`` (static) and optional ``bn_momentum``.
 FPS uses the flax RNG collection ``"sampling"`` when training (the
@@ -13,9 +23,13 @@ deterministic start in eval.
 
 Compute dtype: every module takes ``dtype`` (None = f32).  bf16 halves
 activation bandwidth and VMEM on the MLP chains; BatchNorm keeps f32
-statistics either way (nn/norm.py) and the segmentation/embedding heads
-stay f32 (models/*).  The default TPU matmul already rounds operands to
-bf16, so bf16 activations change MLP numerics only at the elementwise ops.
+statistics either way and the segmentation/embedding heads stay f32
+(models/*).  The default TPU matmul already rounds operands to bf16, so
+bf16 activations change MLP numerics only at the elementwise ops.
+
+Eval forward on TPU dispatches each multi-scale SA scale to the fused
+Pallas kernel (gather + folded BN + ReLU chain + max-over-K in VMEM) when
+a tiling plan exists; training and CPU keep the jnp chain.
 """
 
 from typing import Sequence
@@ -24,7 +38,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prifit_tpu.nn.norm import BatchNorm
+from prifit_tpu.ops.pallas.fused_sa import (
+    fold_bn,
+    fused_sa_scale,
+    has_fused_plan,
+)
 from prifit_tpu.ops.sampling import (
     ball_query_nearest_shared,
     farthest_point_sample,
@@ -36,20 +54,94 @@ from prifit_tpu.ops.sampling import (
 )
 
 
+def _dense(x, w, b=None, dtype=None):
+    """``nn.Dense`` equivalent on explicit parameters: contract the last
+    axis, default precision, optional compute dtype (casts inputs AND
+    params like flax's ``promote_dtype``)."""
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+        if b is not None:
+            b = b.astype(dtype)
+    y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())))
+    return y if b is None else y + b
+
+
+def _bn_forward(mod, entry, x, train, momentum, eps=1e-5):
+    """``nn/norm.py::BatchNorm`` semantics on explicit parameters.
+
+    ``entry = (scale, bias, ra_mean_var, ra_var_var)`` where the last two
+    are flax ``batch_stats`` variables.  Torch convention:
+    ``running = (1 - m) * running + m * batch_stat`` with the *unbiased*
+    variance tracked; statistics are f32 regardless of ``x.dtype``.
+    """
+    scale, bias, ra_mean, ra_var = entry
+    if not train:
+        mean, var = ra_mean.value, ra_var.value
+    else:
+        reduce_axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=reduce_axes)
+        mean2 = jnp.mean(x32 ** 2, axis=reduce_axes)
+        if mod.axis_name is not None:
+            mean = jax.lax.pmean(mean, mod.axis_name)
+            mean2 = jax.lax.pmean(mean2, mod.axis_name)
+        var = jnp.maximum(mean2 - mean ** 2, 0.0)
+        if not mod.is_initializing():
+            m = jnp.asarray(momentum, jnp.float32)
+            n = 1.0
+            for a in reduce_axes:
+                n = n * x.shape[a]
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+            ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+            ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale + bias
+    return y.astype(x.dtype)
+
+
 class PointMLP(nn.Module):
-    """Shared per-point MLP: [Dense -> BN -> ReLU] x len(features)."""
+    """Shared per-point MLP: [dense -> BN -> ReLU] x len(features).
+
+    ``d_in`` is the static input width (setup-style parameter creation
+    so the fused eval path can read folded weights without calling)."""
     features: Sequence[int]
+    d_in: int
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
-    @nn.compact
+    def setup(self):
+        ins = [self.d_in] + list(self.features[:-1])
+        ws, bs, bn = [], [], []
+        for i, (d, f) in enumerate(zip(ins, self.features)):
+            ws.append(self.param(f"w{i}", nn.initializers.lecun_normal(),
+                                 (d, f)))
+            bs.append(self.param(f"b{i}", nn.initializers.zeros, (f,)))
+            bn.append((
+                self.param(f"bn{i}_scale", nn.initializers.ones, (f,)),
+                self.param(f"bn{i}_bias", nn.initializers.zeros, (f,)),
+                self.variable("batch_stats", f"bn{i}_mean",
+                              lambda f=f: jnp.zeros(f, jnp.float32)),
+                self.variable("batch_stats", f"bn{i}_var",
+                              lambda f=f: jnp.ones(f, jnp.float32)),
+            ))
+        self.ws, self.bs, self.bn = ws, bs, bn
+
     def __call__(self, x, train: bool, bn_momentum=0.1):
-        for f in self.features:
-            x = nn.Dense(f, dtype=self.dtype)(x)
-            x = BatchNorm(axis_name=self.axis_name)(
-                x, use_running_average=not train, momentum=bn_momentum)
+        for i in range(len(self.features)):
+            x = _dense(x, self.ws[i], self.bs[i], self.dtype)
+            x = _bn_forward(self, self.bn[i], x, train, bn_momentum)
             x = nn.relu(x)
         return x
+
+    def folded_eval(self):
+        """Chain weights with eval BN folded in: dense+BN == x @ w' + b'."""
+        ws, bs = [], []
+        for i in range(len(self.features)):
+            scale, bias, m, v = self.bn[i]
+            a, c = fold_bn(m.value, v.value, scale, bias)
+            ws.append(self.ws[i] * a[None, :])
+            bs.append(self.bs[i] * a + c)
+        return ws, bs
 
 
 class GroupedFirstLayer(nn.Module):
@@ -74,13 +166,51 @@ class GroupedFirstLayer(nn.Module):
         projection FLOPs, reference-layout path).
 
     Both orders are the same math with the same parameters; BN stats and
-    outputs match up to matmul rounding.
+    outputs match up to matmul rounding.  ``d_in`` is the static width of
+    ``points`` (0 when None).
     """
     features: int
+    d_in: int
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
-    @nn.compact
+    def setup(self):
+        f = self.features
+        self.w_xyz = self.param("w_xyz", nn.initializers.lecun_normal(),
+                                (3, f))
+        if self.d_in:
+            self.w_feat = self.param(
+                "w_feat", nn.initializers.lecun_normal(), (self.d_in, f))
+            self.b_feat = self.param("b_feat", nn.initializers.zeros, (f,))
+        else:
+            self.b = self.param("bias", nn.initializers.zeros, (f,))
+        self.bn = (
+            self.param("bn_scale", nn.initializers.ones, (f,)),
+            self.param("bn_bias", nn.initializers.zeros, (f,)),
+            self.variable("batch_stats", "bn_mean",
+                          lambda: jnp.zeros(f, jnp.float32)),
+            self.variable("batch_stats", "bn_var",
+                          lambda: jnp.ones(f, jnp.float32)),
+        )
+
+    def pre_affine(self, xyz, points):
+        """Per-point affine part (``W_f feat + W_x xyz + b``), [B, N, F]."""
+        pre = _dense(xyz, self.w_xyz)
+        if self.d_in:
+            pre = pre + _dense(points, self.w_feat, self.b_feat)
+        else:
+            pre = pre + self.b
+        return pre
+
+    def eval_pre_cen(self, xyz, points, new_xyz):
+        """Folded (table, centers) for the fused eval kernel: the grouped
+        layer's post-BN pre-ReLU value is ``table[idx] - centers``."""
+        a, c = fold_bn(self.bn[2].value, self.bn[3].value,
+                       self.bn[0], self.bn[1])
+        pre = self.pre_affine(xyz, points)
+        cen = _dense(new_xyz, self.w_xyz)
+        return pre * a, cen * a - c
+
     def __call__(self, xyz, points, new_xyz, idx, train: bool,
                  bn_momentum=0.1):
         """xyz [B, N, 3]; points [B, N, D] or None; new_xyz [B, S, 3];
@@ -96,35 +226,60 @@ class GroupedFirstLayer(nn.Module):
         relative quantity, safe in bf16) is cast to ``dtype`` for the
         downstream MLP chain.
         """
-        dense_xyz = nn.Dense(self.features, use_bias=False,
-                             name="dense_xyz")
-        d_in = 0 if points is None else points.shape[-1]
         prec = jax.lax.Precision.HIGHEST
-
-        if 3 + d_in <= self.features:
-            grouped = dense_xyz(gather_neighbors(xyz, idx, precision=prec))
-            if points is not None:
-                grouped = grouped + nn.Dense(
-                    self.features, name="dense_feat")(
-                        gather_neighbors(points, idx, precision=prec))
+        if 3 + self.d_in <= self.features:
+            grouped = _dense(gather_neighbors(xyz, idx, precision=prec),
+                             self.w_xyz)
+            if self.d_in:
+                grouped = grouped + _dense(
+                    gather_neighbors(points, idx, precision=prec),
+                    self.w_feat, self.b_feat)
             else:
-                grouped = grouped + self.param(
-                    "bias", nn.initializers.zeros, (self.features,))
+                grouped = grouped + self.b
         else:
-            pre = dense_xyz(xyz)
-            if points is not None:
-                pre = pre + nn.Dense(self.features,
-                                     name="dense_feat")(points)
-            else:
-                pre = pre + self.param(
-                    "bias", nn.initializers.zeros, (self.features,))
-            grouped = gather_neighbors(pre, idx, precision=prec)
-        grouped = grouped - dense_xyz(new_xyz)[:, :, None, :]
+            grouped = gather_neighbors(self.pre_affine(xyz, points), idx,
+                                       precision=prec)
+        grouped = grouped - _dense(new_xyz, self.w_xyz)[:, :, None, :]
         if self.dtype is not None:
             grouped = grouped.astype(self.dtype)
-        grouped = BatchNorm(axis_name=self.axis_name)(
-            grouped, use_running_average=not train, momentum=bn_momentum)
+        grouped = _bn_forward(self, self.bn, grouped, train, bn_momentum)
         return nn.relu(grouped)
+
+
+def _fused_scale_ok(module, mlp, N, K, S, train):
+    """Gate for the fused eval-mode Pallas scale kernel.
+
+    ``auto`` currently resolves to OFF pending an on-chip win: the
+    kernel compiles (after the three Mosaic-crash workarounds in
+    ops/pallas/gather.py) but its chunked-shuffle gather has not yet
+    beaten the one-hot jnp path in a clean benchmark.  ``on`` forces
+    the dispatch on TPU, ``interpret`` forces the kernel in interpreter
+    mode on any backend (tests).
+    """
+    mode = module.sa_eval_kernel
+    if mode in ("off", "auto") or train or module.dtype is not None \
+            or len(mlp) < 2:
+        return False
+    if mode != "interpret" and jax.default_backend() != "tpu":
+        return False
+    return has_fused_plan(N, K, S, list(mlp))
+
+
+def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
+               bn_momentum):
+    """One SA scale: grouped first layer + chain + max over K, via the
+    fused VMEM kernel (eval, TPU) or the jnp path."""
+    B, N, _ = xyz.shape
+    S, K = idx.shape[1], idx.shape[2]
+    if _fused_scale_ok(module, mlp, N, K, S, train):
+        pre, cen = gfl.eval_pre_cen(xyz, points, new_xyz)
+        ws, bs = pmlp.folded_eval()
+        return fused_sa_scale(
+            pre, cen, idx, ws, bs,
+            interpret=module.sa_eval_kernel == "interpret")
+    h = gfl(xyz, points, new_xyz, idx, train, bn_momentum)
+    out = pmlp(h, train, bn_momentum)
+    return jnp.max(out, axis=2)
 
 
 class SetAbstraction(nn.Module):
@@ -141,14 +296,16 @@ class SetAbstraction(nn.Module):
     axis_name: str | None = None
     fused: bool = True
     dtype: jnp.dtype | None = None
+    sa_eval_kernel: str = "auto"   # auto | off | interpret
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
         """xyz [B, N, 3], points [B, N, D] or None ->
         (new_xyz [B, S, 3], new_points [B, S, mlp[-1]])."""
+        d_in = 0 if points is None else points.shape[-1]
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, points)
-            out = PointMLP(self.mlp, self.axis_name, self.dtype)(
+            out = PointMLP(self.mlp, 3 + d_in, self.axis_name, self.dtype)(
                 grouped, train, bn_momentum)
             return new_xyz, jnp.max(out, axis=2)
 
@@ -167,22 +324,24 @@ class SetAbstraction(nn.Module):
         if self.fused:
             (idx,) = ball_query_nearest_shared(
                 [self.radius], [self.nsample], xyz, new_xyz)
-            h = GroupedFirstLayer(self.mlp[0], self.axis_name, self.dtype)(
-                xyz, points, new_xyz, idx, train, bn_momentum)
-            out = PointMLP(self.mlp[1:], self.axis_name, self.dtype)(
-                h, train, bn_momentum)
+            gfl = GroupedFirstLayer(self.mlp[0], d_in, self.axis_name,
+                                    self.dtype)
+            pmlp = PointMLP(self.mlp[1:], self.mlp[0], self.axis_name,
+                            self.dtype)
+            out = _run_scale(self, gfl, pmlp, self.mlp, xyz, points,
+                             new_xyz, idx, train, bn_momentum)
+            return new_xyz, out
+        idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+        grouped_xyz = index_points(xyz, idx, precision=prec) \
+            - new_xyz[:, :, None, :]
+        if points is not None:
+            grouped = jnp.concatenate(
+                [grouped_xyz, index_points(points, idx,
+                                           precision=prec)], axis=-1)
         else:
-            idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-            grouped_xyz = index_points(xyz, idx, precision=prec) \
-                - new_xyz[:, :, None, :]
-            if points is not None:
-                grouped = jnp.concatenate(
-                    [grouped_xyz, index_points(points, idx,
-                                               precision=prec)], axis=-1)
-            else:
-                grouped = grouped_xyz
-            out = PointMLP(self.mlp, self.axis_name, self.dtype)(
-                grouped, train, bn_momentum)
+            grouped = grouped_xyz
+        out = PointMLP(self.mlp, 3 + d_in, self.axis_name, self.dtype)(
+            grouped, train, bn_momentum)
         return new_xyz, jnp.max(out, axis=2)
 
 
@@ -200,11 +359,13 @@ class SetAbstractionMsg(nn.Module):
     axis_name: str | None = None
     fused: bool = True
     dtype: jnp.dtype | None = None
+    sa_eval_kernel: str = "auto"   # auto | off | interpret
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
         prec = None if self.dtype == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
+        d_in = 0 if points is None else points.shape[-1]
         if train:
             key = self.make_rng("sampling")
             fps_idx = farthest_point_sample(xyz, self.npoint, key=key)
@@ -219,12 +380,14 @@ class SetAbstractionMsg(nn.Module):
             # per-radius neighbor lists are prefixes of the same sorted set
             idx_list = ball_query_nearest_shared(
                 self.radius_list, self.nsample_list, xyz, new_xyz)
-            for idx, mlp in zip(idx_list, self.mlp_list):
-                h = GroupedFirstLayer(mlp[0], self.axis_name, self.dtype)(
-                    xyz, points, new_xyz, idx, train, bn_momentum)
-                out = PointMLP(mlp[1:], self.axis_name, self.dtype)(
-                    h, train, bn_momentum)
-                outs.append(jnp.max(out, axis=2))
+            for i, (idx, mlp) in enumerate(zip(idx_list, self.mlp_list)):
+                gfl = GroupedFirstLayer(mlp[0], d_in, self.axis_name,
+                                        self.dtype,
+                                        name=f"GroupedFirstLayer_{i}")
+                pmlp = PointMLP(mlp[1:], mlp[0], self.axis_name,
+                                self.dtype, name=f"PointMLP_{i}")
+                outs.append(_run_scale(self, gfl, pmlp, mlp, xyz, points,
+                                       new_xyz, idx, train, bn_momentum))
             return new_xyz, jnp.concatenate(outs, axis=-1)
 
         for radius, k, mlp in zip(self.radius_list, self.nsample_list,
@@ -238,7 +401,7 @@ class SetAbstractionMsg(nn.Module):
                      grouped_xyz], axis=-1)
             else:
                 grouped = grouped_xyz
-            out = PointMLP(mlp, self.axis_name, self.dtype)(
+            out = PointMLP(mlp, 3 + d_in, self.axis_name, self.dtype)(
                 grouped, train, bn_momentum)
             outs.append(jnp.max(out, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -259,7 +422,8 @@ class FeaturePropagation(nn.Module):
         points1 [B, N, D1] skip or None, points2 [B, S, D2]."""
         # exact feature gather in f32 mode; bf16 rounding is fine (and
         # cheaper) when the whole chain is bf16 anyway
-        prec = None if self.dtype == jnp.bfloat16             else jax.lax.Precision.HIGHEST
+        prec = None if self.dtype == jnp.bfloat16 \
+            else jax.lax.Precision.HIGHEST
         interpolated = three_nn_interpolate(xyz1, xyz2, points2,
                                             precision=prec)
         if points1 is not None:
@@ -268,6 +432,6 @@ class FeaturePropagation(nn.Module):
         else:
             x = interpolated
         if self.mlp:
-            x = PointMLP(self.mlp, self.axis_name, self.dtype)(
-                x, train, bn_momentum)
+            x = PointMLP(self.mlp, x.shape[-1], self.axis_name,
+                         self.dtype)(x, train, bn_momentum)
         return x

@@ -12,13 +12,23 @@ indices have the same shape as the operand
 
 Layout trick: to gather R arbitrary rows of an ``[N, C]`` table with
 that primitive, keep the table TRANSPOSED ``[C, N]`` in VMEM and gather
-along the LANE axis in chunks of exactly N indices:
+along the LANE axis:
 
     out[c, j] = tab[c, idx[j]]      (idx broadcast over the C sublanes)
 
-so each grid step emits an ``[C, N]`` tile of gathered values and R is
-tiled in ``R / N`` steps.  Values are bit-exact (a gather moves bits) —
-this is the f32-exactness path for free, with no 3-pass HIGHEST einsum.
+Mosaic's ``tpu.dynamic_gather`` is an in-register lane shuffle: the
+SOURCE of each gather must fit in ONE vreg along the gather axis (128
+f32 lanes; larger tables raise "Not implemented: Multiple source vregs
+along gather dimension").  ``gather_lanes`` therefore decomposes the
+N-lane table into 128-lane chunks and each 128-lane output tile into a
+chunk-local shuffle + per-lane select merge:
+
+    out_t = select(idx_t // 128 == c, shuffle(tab_c, idx_t % 128), out_t)
+
+Per output element this is ~2(N/128) VPU ops — the same op count as the
+one-hot einsum's compare generation, without the MXU pass or the HBM
+round trip.  Values are bit-exact (a gather moves bits) — this is the
+f32-exactness path for free, with no 3-pass HIGHEST einsum.
 
 Reference behavior: ``models/pointnet_util.py:43-60`` (index_points).
 """
@@ -32,17 +42,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_CHUNK = 128  # one vreg of f32 lanes — the dynamic_gather source limit
+
+
+def gather_lanes(tab, idx_tile, R):
+    """``out[f, j] = tab[f, idx[j]]`` inside a kernel, bit-exact.
+
+    ``tab``: ``[F, N]`` VMEM value, N a multiple of 128.
+    ``idx_tile``: callable ``t -> [1, 128]`` int32 — loads lane tile
+    ``t`` of the R flat indices DIRECTLY FROM ITS REF (e.g.
+    ``lambda t: idx_ref[0, pl.ds(t * 128, 128)]``).  Two Mosaic
+    compiler crashes (probed 2026-08, opaque tpu_compile_helper exit 1)
+    force this shape: lane-slicing a loaded ``[1, R]`` int value — or a
+    sublane broadcast of one — dies; a 128-lane ref load followed by
+    broadcast compiles.
+    ``R``: total index count, a multiple of 128.
+
+    Each constituent ``tpu.dynamic_gather`` sees a single-source-vreg
+    ``[F, 128]`` shuffle (see module docstring) and chunks of the
+    N-lane table are merged with per-lane selects.
+    """
+    F, N = tab.shape
+    tiles = []
+    for t in range(R // _CHUNK):
+        ix = jnp.broadcast_to(idx_tile(t), (F, _CHUNK))
+        lo_t, hi_t = ix % _CHUNK, ix // _CHUNK
+        acc = None
+        for c in range(N // _CHUNK):
+            src = tab[:, c * _CHUNK:(c + 1) * _CHUNK]
+            g = jnp.take_along_axis(src, lo_t, axis=1,
+                                    mode="promise_in_bounds")
+            acc = g if acc is None else jnp.where(hi_t == c, g, acc)
+        tiles.append(acc)
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=1)
+
+
 def _gather_kernel(tab_ref, idx_ref, out_ref):
-    # idx block is the per-batch [n_chunks, N] slab (a (1, 1, N) block
-    # would put a 1 in the second-to-last dim against an n_chunks-sized
-    # array dim, which Mosaic's tiling rules reject); select this grid
-    # step's chunk row dynamically.
-    r = pl.program_id(1)
+    # the grid-step row of indices arrives via the BlockSpec index_map
+    # (idx laid out [B, n_chunks, 1, N] so the (1, 1, 1, N) block keeps
+    # full-size last-two dims — Mosaic rejects 1-sublane blocks of a
+    # larger dim, and an in-kernel dynamic pl.ds row select crashes the
+    # compiler outright; see gather_lanes docstring)
     tab = tab_ref[0]                                   # [C, N]
-    row = idx_ref[0, pl.ds(r, 1)]                      # [1, N]
-    idx = jnp.broadcast_to(row, tab.shape)             # [C, N]
-    out_ref[0, 0] = jnp.take_along_axis(
-        tab, idx, axis=1, mode="promise_in_bounds")
+    N = tab.shape[1]
+    out_ref[0, 0] = gather_lanes(
+        tab, lambda t: idx_ref[0, 0, :, pl.ds(t * 128, 128)], N)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -62,7 +106,7 @@ def gather_rows_pallas(points: jax.Array, idx: jax.Array,
     Rp = n_chunks * N
     if Rp != R:
         idx = jnp.pad(idx, ((0, 0), (0, Rp - R)))
-    idx_c = idx.reshape(B, n_chunks, N).astype(jnp.int32)
+    idx_c = idx.reshape(B, n_chunks, 1, N).astype(jnp.int32)
     tab_t = jnp.swapaxes(points, 1, 2)                 # [B, C, N]
 
     out = pl.pallas_call(
@@ -71,7 +115,7 @@ def gather_rows_pallas(points: jax.Array, idx: jax.Array,
         in_specs=[
             pl.BlockSpec((1, C, N), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_chunks, N), lambda b, r: (b, 0, 0),
+            pl.BlockSpec((1, 1, 1, N), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, C, N), lambda b, r: (b, r, 0, 0),
