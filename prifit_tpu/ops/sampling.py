@@ -142,18 +142,38 @@ def index_points_onehot(points: jax.Array, idx: jax.Array,
 _ONEHOT_MIN_ROWS = 1 << 16
 
 
+def _dg_eligible(points, idx):
+    """Shape gate for the Pallas lane dynamic_gather (ops/pallas/gather.py):
+    f32 table, lane axis a multiple of the 128-lane vreg, and a table
+    slab ([C, N] f32, double-buffered) that fits VMEM comfortably."""
+    B, N, C = points.shape
+    return (points.dtype == jnp.float32 and N % 128 == 0
+            and N <= 4096 and 4 * C * N <= 4 * 1024 * 1024)
+
+
 def gather_neighbors(points: jax.Array, idx: jax.Array,
                      precision=None) -> jax.Array:
-    """Neighborhood gather with automatic TPU one-hot dispatch.
+    """Neighborhood gather with automatic TPU dispatch.
 
-    Uses :func:`index_points_onehot` on TPU for large row counts (the
-    SA-layer / FP-layer regime), the plain gather elsewhere (CPU tests
-    exercise the exact path).
+    On TPU, large-row-count gathers (the SA/FP-layer regime) go through
+    :func:`index_points_onehot` (MXU) or the bit-exact Pallas lane
+    ``dynamic_gather`` (``ops/pallas/gather.py``), the plain XLA gather
+    elsewhere (CPU tests exercise the exact path).  ``PRIFIT_GATHER``
+    overrides the choice for A/B benchmarking: ``onehot`` | ``dg`` |
+    ``native`` | ``auto`` (default; see tools/bench_gather.py for the
+    measured on-chip comparison behind the auto policy).
     """
+    import os
+    mode = os.environ.get("PRIFIT_GATHER", "auto")
     B, N, _ = points.shape
     rows = B * int(np.prod(idx.shape[1:]))
-    if jax.default_backend() == "tpu" and rows >= _ONEHOT_MIN_ROWS \
-            and N <= 4096:
+    on_tpu = jax.default_backend() == "tpu"
+    if mode == "native":
+        return index_points(points, idx, precision=precision)
+    if on_tpu and rows >= _ONEHOT_MIN_ROWS and N <= 4096:
+        if mode == "dg" and _dg_eligible(points, idx):
+            from prifit_tpu.ops.pallas.gather import index_points_dg
+            return index_points_dg(points, idx)
         return index_points_onehot(points, idx, precision=precision)
     return index_points(points, idx, precision=precision)
 
