@@ -46,10 +46,19 @@ def chained(body):
 
 
 def main():
-    pieces = set(sys.argv[1:]) or {
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encoder_dtype", default="auto")
+    ap.add_argument("--sa_eval_kernel", default="auto")
+    ap.add_argument("pieces", nargs="*", default=[])
+    args = ap.parse_args()
+    pieces = set(args.pieces) or {
         "fwd_fit", "fwd_nofit", "fps", "ballq", "gather",
         "sup_step", "selfsup_step"}
-    print("backend:", jax.default_backend())
+    print("backend:", jax.default_backend(),
+          "encoder_dtype:", args.encoder_dtype,
+          "sa_eval_kernel:", args.sa_eval_kernel,
+          "gather:", os.environ.get("PRIFIT_GATHER", "auto"))
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
     cls = jnp.zeros((B, 16), jnp.float32)
@@ -57,7 +66,9 @@ def main():
     from __graft_entry__ import _flagship
     mod, model, state, _, _, _ = _flagship(
         npoint=64, quantile=0.05, msc_iterations=10, max_num_clusters=25,
-        n_per_prim=256, batch=2)
+        n_per_prim=256, batch=2,
+        compute_dtype=args.encoder_dtype,
+        sa_eval_kernel=args.sa_eval_kernel)
     variables = state.variables()
     kwargs = dict(include_convex_loss=True, quantile=0.05,
                   msc_iterations=10, max_num_clusters=25, n_per_prim=256)
