@@ -151,6 +151,14 @@ def _dg_eligible(points, idx):
             and N <= 4096 and 4 * C * N <= 4 * 1024 * 1024)
 
 
+# dg's chunked lane shuffle costs ~R * (N/128) * ceil(C/8) VPU vreg-ops,
+# the one-hot einsum ~R * N compares + MXU passes over C: measured on
+# v5e (tools/bench_gather.py, 2026-08) dg wins 5.5x on the narrow sa1
+# xyz gather (C=3) and loses ~2.5x at C=128 — dispatch dg only for
+# narrow tables, where generating the [rows, N] one-hot dominates
+_DG_MAX_WIDTH = 16
+
+
 def gather_neighbors(points: jax.Array, idx: jax.Array,
                      precision=None) -> jax.Array:
     """Neighborhood gather with automatic TPU dispatch.
@@ -165,13 +173,14 @@ def gather_neighbors(points: jax.Array, idx: jax.Array,
     """
     import os
     mode = os.environ.get("PRIFIT_GATHER", "auto")
-    B, N, _ = points.shape
+    B, N, C = points.shape
     rows = B * int(np.prod(idx.shape[1:]))
     on_tpu = jax.default_backend() == "tpu"
     if mode == "native":
         return index_points(points, idx, precision=precision)
     if on_tpu and rows >= _ONEHOT_MIN_ROWS and N <= 4096:
-        if mode == "dg" and _dg_eligible(points, idx):
+        want_dg = mode == "dg" or (mode == "auto" and C <= _DG_MAX_WIDTH)
+        if want_dg and _dg_eligible(points, idx):
             from prifit_tpu.ops.pallas.gather import index_points_dg
             return index_points_dg(points, idx)
         return index_points_onehot(points, idx, precision=precision)
