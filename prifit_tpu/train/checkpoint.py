@@ -76,13 +76,42 @@ def _raw_restore(directory: str, name: str):
     return _checkpointer().restore(path)
 
 
+def _merge_trees(fresh, restored, path=""):
+    """Recursive right-biased merge: take ``restored`` where a key exists
+    in both, keep the ``fresh`` init elsewhere.  Returns (merged, missing)
+    with ``missing`` the fresh-only paths (e.g. heads absent from a
+    pretrain checkpoint)."""
+    if not isinstance(fresh, dict):
+        return (fresh, [path]) if restored is None else (restored, [])
+    merged, missing = {}, []
+    for k, v in fresh.items():
+        sub = restored.get(k) if isinstance(restored, dict) else None
+        merged[k], miss = _merge_trees(v, sub, f"{path}/{k}")
+        missing += miss
+    return merged, missing
+
+
 def restore_params_only(directory: str, name: str, state):
     """Warm-start model weights from a pretrained checkpoint
     (``--pretrained_model``, reference ``train:276-280``): parameters and
-    batch stats only, fresh optimizer."""
+    batch stats only, fresh optimizer.
+
+    The reference's strict ``load_state_dict`` works because torch
+    registers every declared submodule whether or not the pretrain
+    forward ever calls it; flax only materializes called modules, so a
+    pretrain checkpoint legitimately lacks finetune-only heads (e.g.
+    ``extra_conv_emb`` when the pretrainer ran without the embedding
+    head).  Equivalent semantics here: merge the checkpoint into the
+    fresh init, keeping fresh params for subtrees the checkpoint lacks."""
     restored = _raw_restore(directory, name)
-    return state.replace(params=restored["params"],
-                         batch_stats=restored["batch_stats"])
+    params, miss_p = _merge_trees(jax.device_get(state.params),
+                                  restored["params"])
+    stats, miss_s = _merge_trees(jax.device_get(state.batch_stats),
+                                 restored["batch_stats"])
+    for m in miss_p + miss_s:
+        print(f"warm-start: keeping fresh init for {m} "
+              f"(absent from checkpoint)")
+    return state.replace(params=params, batch_stats=stats)
 
 
 def latest_checkpoint(directory: str, prefix: str = "model_") -> str | None:

@@ -411,6 +411,56 @@ class TestPretrainAndTestingCLI:
         assert glob.glob(str(tmp_path / "log" / "**" / "best_model"),
                          recursive=True)
 
+    def test_finetune_from_pretrain_checkpoint(self, tmp_path):
+        """--pretrained_model warm-starts the finetune trainer from a
+        pretrain checkpoint: backbone params come from the checkpoint,
+        finetune-only heads keep their fresh init (reference
+        ``train:276-280``; torch's strict load works there because torch
+        registers declared-but-uncalled submodules — flax doesn't)."""
+        import glob
+
+        from prifit_tpu.cli import pretrain_partseg, train_partseg
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.train.checkpoint import _raw_restore
+
+        acd = make_acd_fixture(str(tmp_path / "acd"), n_shapes=6,
+                               n_points=96)
+        sn = make_shapenet_fixture(str(tmp_path / "sn"), n_per_cat=6,
+                                   n_points=64)
+        pre_args = parse_args([
+            "--model", "pretrain_pointnet2_part_seg_msg", "--epoch", "1",
+            "--epoch_iters", "2", "--batch_size", "2", "--npoint", "48",
+            "--selfsup", "--ss_path", acd, "--quantile", "0.2",
+            "--msc_iterations", "2", "--max_num_clusters", "4",
+            "--n_per_prim", "16", "--chamfer_npoints", "96",
+            "--experiment_root", str(tmp_path / "pre"),
+            "--learning_rate", "0.001"])
+        pretrain_partseg.main(pre_args)
+        ck = glob.glob(str(tmp_path / "pre" / "**" / "best_model"),
+                       recursive=True)[0]
+
+        ft_args = parse_args([
+            "--model", "pointnet2_part_seg_msg", "--epoch", "1",
+            "--epoch_iters", "2", "--batch_size", "2", "--npoint", "48",
+            "--k_shot", "2", "--data_root", sn,
+            "--pretrained_model", ck,
+            "--experiment_root", str(tmp_path / "ft"),
+            "--learning_rate", "0.0"])  # lr clips to 1e-5: ~frozen
+        metrics = train_partseg.main(ft_args)
+        assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
+
+        # the saved finetune checkpoint's backbone tracks the pretrain
+        # ckpt (2 Adam steps at the 1e-5 lr clip move params O(1e-5);
+        # a fresh lecun init would differ at O(0.1))
+        restored_pre = _raw_restore(*osp.split(ck))
+        ft_ck = glob.glob(str(tmp_path / "ft" / "**" / "best_model"),
+                          recursive=True)[0]
+        restored_ft = _raw_restore(*osp.split(ft_ck))
+        pre_w = restored_pre["params"]["sa1"]["GroupedFirstLayer_0"]
+        ft_w = restored_ft["params"]["sa1"]["GroupedFirstLayer_0"]
+        np.testing.assert_allclose(np.asarray(pre_w["w_xyz"]),
+                                   np.asarray(ft_w["w_xyz"]), atol=1e-3)
+
     def test_testing_cli(self, tmp_path):
         from prifit_tpu.cli.args_parser import parse_args
         from prifit_tpu.cli.testing import main
