@@ -32,6 +32,7 @@ from prifit_tpu.models.common import (
 from prifit_tpu.nn.atlasnet import AtlasNet
 from prifit_tpu.nn.norm import BatchNorm
 from prifit_tpu.nn.pointnet2 import (
+    FQ,
     FeaturePropagation,
     SetAbstraction,
     SetAbstractionMsg,
@@ -63,8 +64,12 @@ class get_model(nn.Module):
     # (STATUS.md): "sa1:bf16,fp2:q,..." — `bf16` runs the stage's MLP
     # chain in bf16 (fwd+bwd rounding); `q` keeps the stage f32 but
     # QUANTIZES its output to bf16 (forward-value rounding with exact
-    # gradients, since the cast pair is identity for autodiff).  Empty =
-    # use compute_dtype for every stage.
+    # gradients, since the cast pair is identity for autodiff); `fq`
+    # reproduces the bf16 FORWARD numerics (straight-through rounding of
+    # matmul inputs/outputs and BN outputs, nn/pointnet2.py::FQ) with
+    # exact f32 gradients — fq-vs-bf16 isolates forward-value rounding
+    # from backward/cotangent rounding.  Empty = use compute_dtype for
+    # every stage.
     stage_dtypes: str = ""
 
     def _encoder_dtypes(self):
@@ -96,6 +101,8 @@ class get_model(nn.Module):
             return jnp.bfloat16, False
         if mode == "q":
             return None, True
+        if mode == "fq":
+            return FQ, False
         return None, False
 
     @staticmethod

@@ -604,6 +604,44 @@ class TestStageDtypes:
             lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
         assert np.isfinite(gsum) and gsum > 0
 
+    def test_fq_matches_bf16_forward_with_f32_grads(self):
+        """`fq` reproduces the bf16 forward numerics (straight-through
+        rounding at matmul inputs/outputs + BN outputs) while autodiff
+        sees identity — the fwd-vs-bwd rounding discriminator."""
+        mod = get_module("pointnet2_part_seg_msg")
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = jnp.zeros((2, 16), jnp.float32)
+        base = mod.get_model(num_parts=50)
+        v = base.init({"params": jax.random.PRNGKey(0),
+                       "sampling": jax.random.PRNGKey(1),
+                       "dropout": jax.random.PRNGKey(2)},
+                      pts, cls, train=True)
+        spec_bf = ",".join(f"{s}:bf16" for s in
+                           ("sa1", "sa2", "sa3", "fp3", "fp2", "fp1"))
+        spec_fq = spec_bf.replace("bf16", "fq")
+        o_bf = mod.get_model(num_parts=50, stage_dtypes=spec_bf).apply(
+            v, pts, cls, train=False).seg_logits
+        fq_model = mod.get_model(num_parts=50, stage_dtypes=spec_fq)
+        o_fq = fq_model.apply(v, pts, cls, train=False).seg_logits
+        o_f32 = base.apply(v, pts, cls, train=False).seg_logits
+        # fq tracks the bf16 forward much closer than f32 does
+        err_fq = float(jnp.abs(o_fq - o_bf).max())
+        err_f32 = float(jnp.abs(o_f32 - o_bf).max())
+        assert err_fq < 0.5 * err_f32 + 1e-6, (err_fq, err_f32)
+        # and rounds (differs from f32)
+        assert float(jnp.abs(o_fq - o_f32).max()) > 0
+
+        def loss(p):
+            o = fq_model.apply({**v, "params": p}, pts, cls, train=False)
+            return jnp.sum(o.seg_logits ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(x.dtype == jnp.float32 for x in leaves)
+        gsum = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+        assert np.isfinite(gsum) and gsum > 0
+
 
 class TestBf16Encoder:
     def test_overfits_single_batch_bf16(self):

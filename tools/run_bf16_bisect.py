@@ -57,6 +57,10 @@ def main():
                     default="coarse")
     ap.add_argument("--stages", default="",
                     help="fine phase: comma list of stages to bisect")
+    ap.add_argument("--modes", default="bf16,q",
+                    help="per-group modes to run (bf16 = fwd+bwd "
+                         "rounding, q = output-value rounding only, fq = "
+                         "bf16-equivalent fwd with exact f32 grads)")
     ap.add_argument("--timeout", type=int, default=1500)
     args = ap.parse_args()
     out_path = args.out or osp.join(args.data, "bisect.jsonl")
@@ -77,8 +81,8 @@ def main():
         stages = args.stages.split(",") if args.stages else SA + FP
         groups = [(s, [s]) for s in stages]
     for name, group in groups:
-        variants.append((f"{name}_bf16", spec(group, "bf16"), "auto"))
-        variants.append((f"{name}_q", spec(group, "q"), "auto"))
+        for mode in args.modes.split(","):
+            variants.append((f"{name}_{mode}", spec(group, mode), "auto"))
 
     seeds = [int(s) for s in args.seeds.split(",")]
     env = dict(os.environ)

@@ -61,6 +61,42 @@ def final_metrics(exp_dir):
     return final
 
 
+def ensure_pretrain(seed, args, env):
+    """Run (or reuse) the ACD self-sup pretrain for this seed; return the
+    best_model checkpoint path (reference recipe step 1,
+    ``pretrain_partseg_shapenet.py`` -> ``--pretrained_model``)."""
+    import glob
+    root = osp.join(args.data, "pretrain", f"s{seed}_e{args.pre_epochs}")
+    found = glob.glob(osp.join(root, "**", "best_model"), recursive=True)
+    if found:
+        return found[0]
+    cmd = [sys.executable, "-m", "prifit_tpu.cli.pretrain_partseg",
+           "--model", "pretrain_pointnet2_part_seg_msg",
+           "--seed", str(seed), "--selfsup", "--ss_dataset", "acd",
+           "--ss_path", args.ss_path,
+           "--epoch", str(args.pre_epochs),
+           "--batch_size", str(args.batch_size),
+           "--npoint", str(args.npoint),
+           "--chamfer_npoints", str(args.npoint),
+           "--learning_rate", "0.01", "--step_size", "1",
+           "--lmbda", str(args.lmbda),
+           "--quantile", str(args.quantile),
+           "--alpha", str(args.alpha),
+           "--msc_iterations", "10", "--max_num_clusters", "25",
+           "--experiment_root", root]
+    print(f"  pretraining (seed {seed}, {args.pre_epochs} epochs)...",
+          flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=env, cwd="/root/repo",
+                          capture_output=True, text=True,
+                          timeout=4 * args.timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"pretrain failed rc={proc.returncode}\n{proc.stderr[-2000:]}")
+    print(f"  pretrain done in {time.time() - t0:.0f}s", flush=True)
+    return glob.glob(osp.join(root, "**", "best_model"), recursive=True)[0]
+
+
 def build_cmd(cfg, args, run_root):
     cmd = [sys.executable, "-m", "prifit_tpu.cli.train_partseg",
            "--seed", str(cfg["seed"]),
@@ -78,7 +114,7 @@ def build_cmd(cfg, args, run_root):
            "--experiment_root", run_root,
            "--encoder_dtype", cfg.get("encoder_dtype", "auto"),
            ]
-    if cfg["arm"] == "joint":
+    if cfg["arm"] in ("joint", "pre_joint"):
         cmd += ["--selfsup", "--ss_dataset", "acd",
                 "--ss_path", args.ss_path,
                 "--lmbda", str(cfg["lmbda"]),
@@ -86,6 +122,10 @@ def build_cmd(cfg, args, run_root):
                 "--alpha", str(cfg["alpha"]),
                 "--msc_iterations", "10",
                 "--max_num_clusters", "25"]
+    if cfg["arm"] in ("pre", "pre_joint"):
+        cmd += ["--pretrained_model", cfg["ckpt"]]
+        if args.ft_lr:
+            cmd[cmd.index("--learning_rate") + 1] = str(args.ft_lr)
     return cmd
 
 
@@ -110,6 +150,11 @@ def main():
     ap.add_argument("--quantile", type=float, default=0.05)
     ap.add_argument("--alpha", type=float, default=0.01)
     ap.add_argument("--encoder_dtype", default="auto")
+    ap.add_argument("--pre_epochs", type=int, default=15,
+                    help="ACD pretrain epochs for the pre/pre_joint arms")
+    ap.add_argument("--ft_lr", type=float, default=0.0,
+                    help="finetune LR override for pre arms (0 = keep "
+                         "the recipe LR)")
     ap.add_argument("--sweep", nargs="*", default=[],
                     help="knob=v1,v2,... sweep entries (joint arm only)")
     ap.add_argument("--timeout", type=int, default=3600)
@@ -140,6 +185,10 @@ def main():
                    lmbda=args.lmbda, quantile=args.quantile,
                    alpha=args.alpha, epochs=args.epochs,
                    encoder_dtype=args.encoder_dtype, **sw)
+        if arm in ("pre", "pre_joint"):
+            cfg["pre_epochs"] = args.pre_epochs
+            if args.ft_lr:
+                cfg["ft_lr"] = args.ft_lr
         runs.append(cfg)
 
     env = dict(os.environ)
@@ -157,6 +206,12 @@ def main():
         run_root = osp.join(args.data, "runs", tag)
         t0 = time.time()
         print(f"[{i + 1}/{len(runs)}] {key}", flush=True)
+        if cfg["arm"] in ("pre", "pre_joint"):
+            try:
+                cfg["ckpt"] = ensure_pretrain(cfg["seed"], args, env)
+            except RuntimeError as e:
+                print(f"  {e}", flush=True)
+                continue
         cmd = build_cmd(cfg, args, run_root)
         try:
             proc = subprocess.run(cmd, env=env, cwd="/root/repo",
@@ -172,8 +227,11 @@ def main():
         exp_dirs = [osp.join(run_root, d) for d in os.listdir(run_root)]
         exp_dir = max(exp_dirs, key=osp.getmtime)
         metrics = final_metrics(exp_dir)
+        ckpt = cfg.pop("ckpt", None)  # not part of the resume key
         rec = {"config": cfg, "metrics": metrics,
                "wall_s": round(time.time() - t0, 1), "exp_dir": exp_dir}
+        if ckpt:
+            rec["pretrain_ckpt"] = ckpt
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         miou = metrics["class_avg_iou"] if metrics else float("nan")
