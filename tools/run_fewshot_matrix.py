@@ -78,7 +78,10 @@ def ensure_pretrain(seed, args, env):
            "--batch_size", str(args.batch_size),
            "--npoint", str(args.npoint),
            "--chamfer_npoints", str(args.npoint),
-           "--learning_rate", "0.01", "--step_size", "1",
+           # reference pretrain schedule: step_size default 20 (constant
+           # LR across a 15-epoch pretrain), NOT the finetune recipe's
+           # every-epoch decay
+           "--learning_rate", "0.01",
            "--lmbda", str(args.lmbda),
            "--quantile", str(args.quantile),
            "--alpha", str(args.alpha),
@@ -105,7 +108,7 @@ def build_cmd(cfg, args, run_root):
            "--epoch", str(args.epochs),
            "--epoch_iters", str(cfg["epoch_iters"]),
            "--learning_rate", "0.01",
-           "--step_size", "1",
+           "--step_size", str(cfg.get("step_size", 1)),
            "--split", "train",
            "--eval_split", "test",
            "--npoint", str(args.npoint),
@@ -169,12 +172,16 @@ def main():
     arms = args.arms.split(",")
 
     sweeps = [{}]
+
+    def _num(v):
+        return int(v) if float(v) == int(float(v)) else float(v)
+
     for entry in args.sweep:
         knob, vals = entry.split("=")
-        sweeps = [dict(s, **{knob: float(v)}) for s in sweeps
+        sweeps = [dict(s, **{knob: _num(v)}) for s in sweeps
                   for v in vals.split(",")]
     if args.sweep:
-        arms = ["joint"]
+        arms = [a for a in arms if a != "sup"] or ["joint"]
 
     runs = []
     for k, seed, arm, sw in itertools.product(k_shots, seeds, arms,
@@ -203,6 +210,10 @@ def main():
         tag = f"k{cfg['k_shot']}_s{cfg['seed']}_{cfg['arm']}"
         for knob in ("lmbda", "quantile", "alpha"):
             tag += f"_{knob[0]}{cfg[knob]}"
+        if cfg.get("step_size", 1) != 1:
+            tag += f"_ss{cfg['step_size']}"
+        if cfg.get("pre_epochs"):
+            tag += f"_pe{cfg['pre_epochs']}"
         run_root = osp.join(args.data, "runs", tag)
         t0 = time.time()
         print(f"[{i + 1}/{len(runs)}] {key}", flush=True)
