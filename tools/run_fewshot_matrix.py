@@ -176,11 +176,15 @@ def main():
     def _num(v):
         return int(v) if float(v) == int(float(v)) else float(v)
 
+    swept_knobs = set()
     for entry in args.sweep:
         knob, vals = entry.split("=")
+        swept_knobs.add(knob)
         sweeps = [dict(s, **{knob: _num(v)}) for s in sweeps
                   for v in vals.split(",")]
-    if args.sweep:
+    # joint-only knobs don't change the sup command — keep sup in the
+    # sweep only when a shared knob (e.g. step_size) is swept
+    if args.sweep and not (swept_knobs - {"lmbda", "quantile", "alpha"}):
         arms = [a for a in arms if a != "sup"] or ["joint"]
 
     runs = []
