@@ -114,15 +114,15 @@ def build_model(args, mod):
                              **kwargs)
     if args.model == "reconstruction":
         return mod.get_model(num_classes=args.num_parts, **kwargs)
+    if getattr(args, "stage_dtypes", ""):
+        dtype_kw["stage_dtypes"] = args.stage_dtypes
+    if getattr(args, "sa_eval_kernel", "auto") != "auto":
+        dtype_kw["sa_eval_kernel"] = args.sa_eval_kernel
     if args.model == "pretrain_pointnet2_part_seg_msg":
         return mod.get_model(num_parts=args.num_parts,
                              l2_norm=args.l2_norm,
                              reconstruct=args.reconstruct, **dtype_kw,
                              **kwargs)
-    if getattr(args, "stage_dtypes", ""):
-        dtype_kw["stage_dtypes"] = args.stage_dtypes
-    if getattr(args, "sa_eval_kernel", "auto") != "auto":
-        dtype_kw["sa_eval_kernel"] = args.sa_eval_kernel
     return mod.get_model(num_parts=args.num_parts, l2_norm=args.l2_norm,
                          reconstruct=args.reconstruct,
                          extra_layers=args.extra_layers, **dtype_kw,
@@ -292,6 +292,11 @@ def main(args):
         if args.npoint % args.sp_points != 0:
             raise SystemExit(f"--sp_points {args.sp_points} must divide "
                              f"--npoint ({args.npoint})")
+        if args.chamfer_npoints % args.sp_points != 0:
+            raise SystemExit(f"--sp_points {args.sp_points} must divide "
+                             f"--chamfer_npoints "
+                             f"({args.chamfer_npoints}) — the chamfer "
+                             f"target is sharded over the points axis")
         n_dp = n_dev // args.sp_points
         if args.batch_size % n_dp != 0:
             raise SystemExit(f"--batch_size {args.batch_size} must be "

@@ -104,3 +104,65 @@ def to_categorical(y: jax.Array, num_classes: int = 16) -> jax.Array:
     """One-hot category labels (reference
     ``train_partseg_shapenet.py:48-53``)."""
     return jax.nn.one_hot(y.reshape(-1), num_classes, dtype=jnp.float32)
+
+
+def encoder_dtypes(compute_dtype: str):
+    """(SA dtype, FP dtype) for the encoder MLP chains.
+
+    Default ("auto" == "f32") is full f32: on the primitive-structured
+    few-shot benchmark (STATUS.md) f32 training lands at class-avg mIoU
+    0.89-0.90 across 5 seeds while every bf16 variant scatters 0.64-0.86,
+    so the 1.4-1.8x step-time win is not the default.  "bf16" (whole
+    encoder) and "sa_bf16" (set-abstraction only) are the opt-ins.
+    """
+    if compute_dtype in ("bf16", "bfloat16"):
+        return jnp.bfloat16, jnp.bfloat16
+    if compute_dtype == "sa_bf16":
+        return jnp.bfloat16, None
+    return None, None
+
+
+ENCODER_STAGES = ("sa1", "sa2", "sa3", "fp3", "fp2", "fp1")
+STAGE_MODES = ("f32", "bf16", "bfloat16", "q", "fq")
+
+
+def stage_cfg(stage_dtypes: str, stage: str, default_dtype):
+    """(mlp dtype, quantize_output) for one encoder stage of a
+    ``stage_dtypes`` spec like ``"sa1:bf16,fp2:q"`` (the bf16-instability
+    bisection, STATUS.md).  Unknown stages/modes raise — a typo'd
+    bisection arm must not silently read as "benign"; unlisted stages
+    keep the encoder default dtype."""
+    from prifit_tpu.nn.pointnet2 import FQ
+
+    if not stage_dtypes:
+        return default_dtype, False
+    spec = dict(kv.split(":") for kv in stage_dtypes.split(",") if kv)
+    bad = set(spec) - set(ENCODER_STAGES)
+    if bad:
+        raise ValueError(f"stage_dtypes: unknown stage(s) {sorted(bad)}; "
+                         f"valid: {ENCODER_STAGES}")
+    bad_modes = set(spec.values()) - set(STAGE_MODES)
+    if bad_modes:
+        raise ValueError(f"stage_dtypes: unknown mode(s) "
+                         f"{sorted(bad_modes)}; valid: {STAGE_MODES}")
+    if stage not in spec:
+        return default_dtype, False
+    mode = spec[stage]
+    if mode in ("bf16", "bfloat16"):
+        return jnp.bfloat16, False
+    if mode == "q":
+        return None, True
+    if mode == "fq":
+        return FQ, False
+    return None, False
+
+
+def maybe_quant(x, quant: bool):
+    """bf16-round forward VALUES only; backward is exactly identity
+    (straight-through — a plain cast pair would round the cotangent at
+    the bf16 aval in between)."""
+    if not quant:
+        return x
+    x = x.astype(jnp.float32)
+    rounded = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return x + jax.lax.stop_gradient(rounded - x)

@@ -26,8 +26,11 @@ from prifit_tpu.geometry.convex_loss import convex_loss
 from prifit_tpu.models.common import (
     SegOutput,
     chamfer_loss_dense,
+    encoder_dtypes,
+    maybe_quant,
     nll_loss,
     pairwise_contrastive_loss,
+    stage_cfg,
 )
 from prifit_tpu.nn.atlasnet import AtlasNet
 from prifit_tpu.nn.norm import BatchNorm
@@ -73,48 +76,14 @@ class get_model(nn.Module):
     stage_dtypes: str = ""
 
     def _encoder_dtypes(self):
-        """(SA dtype, FP dtype) for the encoder MLP chains.
-
-        Default ("auto" == "f32") is full f32: on the primitive-structured
-        few-shot benchmark (STATUS.md) f32 training lands at class-avg
-        mIoU 0.89-0.90 across 5 seeds while every bf16 variant scatters
-        0.64-0.86 — bf16 encoder activations destabilize few-shot
-        training even with the grouped first layer kept exact, so the
-        1.4-1.8x step-time win is not worth the default.  "bf16" (whole
-        encoder) and "sa_bf16" (only the set-abstraction neighborhood
-        tensors) remain opt-in for throughput-bound workloads.
-        """
-        if self.compute_dtype in ("bf16", "bfloat16"):
-            return jnp.bfloat16, jnp.bfloat16
-        if self.compute_dtype == "sa_bf16":
-            return jnp.bfloat16, None
-        return None, None
+        """See :func:`prifit_tpu.models.common.encoder_dtypes` (the f32
+        default is a measured decision, STATUS.md bf16 A/B)."""
+        return encoder_dtypes(self.compute_dtype)
 
     def _stage_cfg(self, stage, default_dtype):
-        """(mlp dtype, quantize_output) for one encoder stage."""
-        if not self.stage_dtypes:
-            return default_dtype, False
-        spec = dict(kv.split(":") for kv in self.stage_dtypes.split(",")
-                    if kv)
-        mode = spec.get(stage, "f32")
-        if mode in ("bf16", "bfloat16"):
-            return jnp.bfloat16, False
-        if mode == "q":
-            return None, True
-        if mode == "fq":
-            return FQ, False
-        return None, False
+        return stage_cfg(self.stage_dtypes, stage, default_dtype)
 
-    @staticmethod
-    def _maybe_quant(x, quant):
-        """bf16-round forward VALUES only; backward is exactly identity
-        (straight-through — a plain cast pair would round the cotangent
-        at the bf16 aval in between)."""
-        if not quant:
-            return x
-        x = x.astype(jnp.float32)
-        rounded = x.astype(jnp.bfloat16).astype(jnp.float32)
-        return x + jax.lax.stop_gradient(rounded - x)
+    _maybe_quant = staticmethod(maybe_quant)
 
     @nn.compact
     def __call__(self, xyz, cls_label, chamfer_points=None, *,
@@ -176,6 +145,11 @@ class get_model(nn.Module):
 
         dtf1, qf1 = self._stage_cfg("fp1", dt_fp)
         if self.extra_layers:
+            if dtf1 is not None:
+                raise ValueError(
+                    "stage_dtypes fp1:bf16/fq is not supported with "
+                    "extra_layers (the extra fp1 dense chain runs f32); "
+                    "use fp1:q or drop the override")
             l0_points_ = FeaturePropagation([], an, name="fp1")(
                 l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
             l0_points_ = l0_points_.astype(jnp.float32)
@@ -185,6 +159,7 @@ class get_model(nn.Module):
                 nn.Dense(128, name="fp1_conv2")(nn.relu(
                     fp1_conv1_bn1(nn.Dense(128, name="fp1_conv1")(
                         l0_points_))))))
+            l0_points = self._maybe_quant(l0_points, qf1)
         else:
             l0_points = FeaturePropagation([128, 128], an, dtype=dtf1,
                                            name="fp1")(
@@ -204,8 +179,28 @@ class get_model(nn.Module):
         feat_embed = None
 
         extra_conv_emb = nn.Dense(128, name="extra_conv_emb")
+
+        def _embedding():
+            """The embedding the convex loss clusters — identical for
+            ``embed=True`` callers (e.g. the point-SP step, which
+            clusters outside the model) so both CLI paths optimize the
+            same head."""
+            if self.extra_layers:
+                e = nn.relu(nn.Dense(128, name="fp1_embed_conv2_bn2")(
+                    nn.Dense(128, name="fp1_embed_conv2")(nn.relu(
+                        fp1_conv1_bn1(nn.Dense(
+                            128, name="fp1_embed_conv1")(l0_points_))))))
+                e = nn.relu(BatchNorm(axis_name=an, name="conv1_embed_bn")(
+                    nn.Dense(128, name="conv1_embed")(e),
+                    use_running_average=not train, momentum=bn_momentum))
+                e = nn.relu(BatchNorm(axis_name=an, name="conv2_embed_bn")(
+                    nn.Dense(128, name="conv2_embed")(e),
+                    use_running_average=not train, momentum=bn_momentum))
+                return extra_conv_emb(e)
+            return extra_conv_emb(feat)
+
         if embed and not include_convex_loss:
-            feat_embed = extra_conv_emb(feat)
+            feat_embed = _embedding()
 
         if include_convex_loss:
             # entropy-weight decay beta *= 0.99 until 0.001 (reference
@@ -219,20 +214,7 @@ class get_model(nn.Module):
                 beta_var.value = new_beta
             beta_eff = jnp.where(beta > 0.001, new_beta, 0.0)
 
-            if self.extra_layers:
-                emb = nn.relu(nn.Dense(128, name="fp1_embed_conv2_bn2")(
-                    nn.Dense(128, name="fp1_embed_conv2")(nn.relu(
-                        fp1_conv1_bn1(nn.Dense(
-                            128, name="fp1_embed_conv1")(l0_points_))))))
-                emb = nn.relu(BatchNorm(axis_name=an, name="conv1_embed_bn")(
-                    nn.Dense(128, name="conv1_embed")(emb),
-                    use_running_average=not train, momentum=bn_momentum))
-                emb = nn.relu(BatchNorm(axis_name=an, name="conv2_embed_bn")(
-                    nn.Dense(128, name="conv2_embed")(emb),
-                    use_running_average=not train, momentum=bn_momentum))
-                feat_embed = extra_conv_emb(emb)
-            else:
-                feat_embed = extra_conv_emb(feat)
+            feat_embed = _embedding()
 
             key = self.make_rng("selfsup") if train else None
             convex_out = convex_loss(

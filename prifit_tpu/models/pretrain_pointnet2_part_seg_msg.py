@@ -14,8 +14,11 @@ from prifit_tpu.geometry.convex_loss import convex_loss
 from prifit_tpu.models.common import (
     SegOutput,
     chamfer_loss_dense,
+    encoder_dtypes,
+    maybe_quant,
     nll_loss,
     pairwise_contrastive_loss,
+    stage_cfg,
 )
 from prifit_tpu.nn.atlasnet import AtlasNet
 from prifit_tpu.nn.norm import BatchNorm
@@ -37,24 +40,10 @@ class get_model(nn.Module):
     # semantics deviation) vs the reference's first-k-by-index
     # query_ball_point (ops/sampling.py; A/B in STATUS.md)
     fused_ball_query: bool = True   # see pointnet2_part_seg_msg.get_model
-
-    def _encoder_dtypes(self):
-        """(SA dtype, FP dtype) for the encoder MLP chains.
-
-        Default ("auto" == "f32") is full f32: on the primitive-structured
-        few-shot benchmark (STATUS.md) f32 training lands at class-avg
-        mIoU 0.89-0.90 across 5 seeds while every bf16 variant scatters
-        0.64-0.86 — bf16 encoder activations destabilize few-shot
-        training even with the grouped first layer kept exact, so the
-        1.4-1.8x step-time win is not worth the default.  "bf16" (whole
-        encoder) and "sa_bf16" (only the set-abstraction neighborhood
-        tensors) remain opt-in for throughput-bound workloads.
-        """
-        if self.compute_dtype in ("bf16", "bfloat16"):
-            return jnp.bfloat16, jnp.bfloat16
-        if self.compute_dtype == "sa_bf16":
-            return jnp.bfloat16, None
-        return None, None
+    # fused eval-mode SA Pallas kernel dispatch + per-stage dtype
+    # overrides — same semantics as pointnet2_part_seg_msg.get_model
+    sa_eval_kernel: str = "auto"
+    stage_dtypes: str = ""
 
     @nn.compact
     def __call__(self, xyz, cls_label, chamfer_points=None, *,
@@ -70,35 +59,50 @@ class get_model(nn.Module):
                  alpha=1.0, evaluation: bool = False) -> SegOutput:
         B, N, _ = xyz.shape
         an = self.axis_name
-        dt_sa, dt_fp = self._encoder_dtypes()
+        dt_sa, dt_fp = encoder_dtypes(self.compute_dtype)
         l0_points = xyz
         l0_xyz = xyz[..., :3]
 
+        dt1, q1 = stage_cfg(self.stage_dtypes, "sa1", dt_sa)
+        dt2, q2 = stage_cfg(self.stage_dtypes, "sa2", dt_sa)
+        dt3, q3 = stage_cfg(self.stage_dtypes, "sa3", dt_sa)
         l1_xyz, l1_points = SetAbstractionMsg(
             512, [0.1, 0.2, 0.4], [32, 64, 128],
-            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt_sa,
-            fused=self.fused_ball_query, name="sa1")(l0_xyz, l0_points, train, bn_momentum)
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt1,
+            fused=self.fused_ball_query,
+            sa_eval_kernel=self.sa_eval_kernel,
+            name="sa1")(l0_xyz, l0_points, train, bn_momentum)
+        l1_points = maybe_quant(l1_points, q1)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.4, 0.8], [64, 128],
-            [[128, 128, 256], [128, 196, 256]], an, dtype=dt_sa,
-            fused=self.fused_ball_query, name="sa2")(
+            [[128, 128, 256], [128, 196, 256]], an, dtype=dt2,
+            fused=self.fused_ball_query,
+            sa_eval_kernel=self.sa_eval_kernel, name="sa2")(
                 l1_xyz, l1_points, train, bn_momentum)
+        l2_points = maybe_quant(l2_points, q2)
         l3_xyz, l3_points = SetAbstraction(
             None, None, None, [256, 512, 1024], group_all=True,
-            axis_name=an, dtype=dt_sa, name="sa3")(
+            axis_name=an, dtype=dt3, name="sa3")(
                 l2_xyz, l2_points, train, bn_momentum)
+        l3_points = maybe_quant(l3_points, q3)
 
-        l2_points = FeaturePropagation([256, 256], an, dtype=dt_fp,
+        dtf3, qf3 = stage_cfg(self.stage_dtypes, "fp3", dt_fp)
+        dtf2, qf2 = stage_cfg(self.stage_dtypes, "fp2", dt_fp)
+        dtf1, qf1 = stage_cfg(self.stage_dtypes, "fp1", dt_fp)
+        l2_points = FeaturePropagation([256, 256], an, dtype=dtf3,
                                        name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, train, bn_momentum)
-        l1_points = FeaturePropagation([256, 128], an, dtype=dt_fp,
+        l2_points = maybe_quant(l2_points, qf3)
+        l1_points = FeaturePropagation([256, 128], an, dtype=dtf2,
                                        name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_points, train, bn_momentum)
+        l1_points = maybe_quant(l1_points, qf2)
         cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
         skip = jnp.concatenate([cls_onehot, l0_xyz, l0_points], axis=-1)
-        l0_points = FeaturePropagation([128, 128], an, dtype=dt_fp,
+        l0_points = FeaturePropagation([128, 128], an, dtype=dtf1,
                                        name="fp1")(
             l0_xyz, l1_xyz, skip, l1_points, train, bn_momentum)
+        l0_points = maybe_quant(l0_points, qf1)
 
         l0_points = l0_points.astype(jnp.float32)
         feat = nn.relu(BatchNorm(axis_name=an, name="bn1")(

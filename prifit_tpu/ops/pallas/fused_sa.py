@@ -56,6 +56,10 @@ def _plan(N, K, S, widths):
     S_t | S, and the activation slabs fit the VMEM budget.  Returns
     (cb, rows, S_t, n_tiles) or None if no plan fits."""
     best = None
+    # gather_lanes decomposes the N-lane table into full 128-lane chunks
+    # — a non-multiple-of-128 N would silently mis-gather the tail
+    if N % 128:
+        return None
     for cb in (1, 2, 4, 8):
         rows = cb * N
         if rows % K or rows % 128:

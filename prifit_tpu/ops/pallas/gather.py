@@ -101,6 +101,10 @@ def gather_rows_pallas(points: jax.Array, idx: jax.Array,
         ``[B, R, C]`` float32.
     """
     B, N, C = points.shape
+    if N % _CHUNK:
+        raise ValueError(
+            f"gather_rows_pallas: N={N} must be a multiple of {_CHUNK} "
+            f"(gather_lanes covers only full 128-lane chunks)")
     R = idx.shape[1]
     n_chunks = -(-R // N)
     Rp = n_chunks * N
@@ -128,20 +132,6 @@ def gather_rows_pallas(points: jax.Array, idx: jax.Array,
     return out[:, :R] if Rp != R else out
 
 
-def _gather_bwd_scatter(n, idx, g):
-    """dpoints via one-hot einsum (same transpose the one-hot fwd has)."""
-    B = idx.shape[0]
-    flat_idx = idx.reshape(B, -1)
-    flat_g = g.reshape(B, flat_idx.shape[1], g.shape[-1])
-    onehot = (flat_idx[:, :, None]
-              == jnp.arange(n)[None, None, :]).astype(jnp.bfloat16)
-    return jnp.einsum(
-        "bpn,bpc->bnc", onehot, flat_g.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.DEFAULT,
-                   jax.lax.Precision.HIGHEST)).astype(g.dtype)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_rows_vjp(n: int, points: jax.Array, idx: jax.Array):
     return gather_rows_pallas(points, idx)
@@ -152,7 +142,8 @@ def _grv_fwd(n, points, idx):
 
 
 def _grv_bwd(n, idx, g):
-    dpoints = _gather_bwd_scatter(n, idx, g)
+    from prifit_tpu.ops.sampling import scatter_accumulate
+    dpoints = scatter_accumulate(n, idx, g, exact_grad=True)
     return dpoints, np.zeros(idx.shape, dtype=jax.dtypes.float0)
 
 

@@ -33,18 +33,21 @@ def _gather_fwd(n, exact_grad, points, idx):
     return _gather_mxu_vjp(n, exact_grad, points, idx), idx
 
 
-def _gather_bwd(n, exact_grad, res, g):
-    # The natural transpose of a gather is a scatter-add, which runs ~17x
-    # slower than the MXU on TPU for these shapes (22 ms vs 1.3 ms for a
-    # [24, 512, 128, 64] neighborhood).  Accumulate through a one-hot
-    # matmul with f32 accumulation instead — XLA streams the one-hot tiles
-    # without materializing them.  With ``exact_grad`` the cotangent side
-    # of the einsum runs at HIGHEST precision (asymmetric pair — the
-    # one-hot side is exact in bf16 anyway), so gradients are not rounded
-    # to bf16; mirrors the forward's f32-exact option
-    # (``index_points_onehot``) and costs about the same (measured,
-    # tools/bench_components.py).
-    idx = res
+def scatter_accumulate(n: int, idx: jax.Array, g: jax.Array,
+                       exact_grad: bool) -> jax.Array:
+    """``dpoints[b, i] = sum over positions p with idx[b, p] == i of
+    g[b, p]`` — the gather transpose, shared by every gather backward.
+
+    The natural transpose of a gather is a scatter-add, which runs ~17x
+    slower than the MXU on TPU for these shapes (22 ms vs 1.3 ms for a
+    [24, 512, 128, 64] neighborhood).  Accumulate through a one-hot
+    matmul with f32 accumulation instead — XLA streams the one-hot tiles
+    without materializing them.  With ``exact_grad`` the cotangent side
+    of the einsum runs at HIGHEST precision (asymmetric pair — the
+    one-hot side is exact in bf16 anyway), so gradients are not rounded
+    to bf16; mirrors the forward's f32-exact option
+    (``index_points_onehot``) and costs about the same (measured,
+    tools/bench_components.py)."""
     B = idx.shape[0]
     flat_idx = idx.reshape(B, -1)                        # [B, P]
     flat_g = g.reshape(B, flat_idx.shape[1], g.shape[-1])
@@ -69,8 +72,14 @@ def _gather_bwd(n, exact_grad, res, g):
             lambda gg, ii: jnp.zeros((n, g.shape[-1]),
                                      jnp.float32).at[ii].add(gg))(
             flat_g.astype(jnp.float32), flat_idx)
+    return dpoints.astype(g.dtype)
+
+
+def _gather_bwd(n, exact_grad, res, g):
+    idx = res
+    dpoints = scatter_accumulate(n, idx, g, exact_grad)
     didx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    return dpoints.astype(g.dtype), didx
+    return dpoints, didx
 
 
 _gather_mxu_vjp.defvjp(_gather_fwd, _gather_bwd)

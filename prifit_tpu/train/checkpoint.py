@@ -78,17 +78,29 @@ def _raw_restore(directory: str, name: str):
 
 def _merge_trees(fresh, restored, path=""):
     """Recursive right-biased merge: take ``restored`` where a key exists
-    in both, keep the ``fresh`` init elsewhere.  Returns (merged, missing)
-    with ``missing`` the fresh-only paths (e.g. heads absent from a
-    pretrain checkpoint)."""
+    in both, keep the ``fresh`` init elsewhere.  Returns
+    (merged, missing, matched) with ``missing`` the fresh-only paths
+    (e.g. heads absent from a pretrain checkpoint) and ``matched`` the
+    count of leaves taken from the checkpoint.  A matched leaf with a
+    different shape raises — that is a wrong/incompatible checkpoint,
+    not a missing head."""
     if not isinstance(fresh, dict):
-        return (fresh, [path]) if restored is None else (restored, [])
-    merged, missing = {}, []
+        if restored is None:
+            return fresh, [path], 0
+        fs = getattr(fresh, "shape", None)
+        rs = getattr(restored, "shape", None)
+        if fs != rs:
+            raise ValueError(
+                f"warm-start shape mismatch at {path}: checkpoint {rs} "
+                f"vs model {fs} (incompatible architecture/config)")
+        return restored, [], 1
+    merged, missing, matched = {}, [], 0
     for k, v in fresh.items():
         sub = restored.get(k) if isinstance(restored, dict) else None
-        merged[k], miss = _merge_trees(v, sub, f"{path}/{k}")
+        merged[k], miss, n = _merge_trees(v, sub, f"{path}/{k}")
         missing += miss
-    return merged, missing
+        matched += n
+    return merged, missing, matched
 
 
 def restore_params_only(directory: str, name: str, state):
@@ -104,10 +116,15 @@ def restore_params_only(directory: str, name: str, state):
     head).  Equivalent semantics here: merge the checkpoint into the
     fresh init, keeping fresh params for subtrees the checkpoint lacks."""
     restored = _raw_restore(directory, name)
-    params, miss_p = _merge_trees(jax.device_get(state.params),
-                                  restored["params"])
-    stats, miss_s = _merge_trees(jax.device_get(state.batch_stats),
-                                 restored["batch_stats"])
+    params, miss_p, n_p = _merge_trees(jax.device_get(state.params),
+                                       restored["params"])
+    stats, miss_s, _ = _merge_trees(jax.device_get(state.batch_stats),
+                                    restored["batch_stats"])
+    if n_p == 0:
+        raise ValueError(
+            f"warm-start: checkpoint {directory}/{name} matched ZERO "
+            f"model parameters — wrong file or incompatible naming "
+            f"(first missing: {miss_p[:3]})")
     for m in miss_p + miss_s:
         print(f"warm-start: keeping fresh init for {m} "
               f"(absent from checkpoint)")

@@ -75,8 +75,8 @@ def summarize_matrix(rows):
         sup_cell = base.get((k, (lm, q, al, ss, 0)), {})
         vals = {}
         for a in arms:
-            vals[a] = [cell.get((a, s)) or sup_cell.get((a, s))
-                       for s in seeds]
+            vals[a] = [cell[(a, s)] if (a, s) in cell
+                       else sup_cell.get((a, s)) for s in seeds]
             txt = " ".join("  -  " if x is None else f"{x:.3f}"
                            for x in vals[a])
             line += f" | {txt:>22}"
