@@ -78,8 +78,10 @@ def main():
     if args.phase == "coarse":
         groups = [("sa_all", SA), ("fp_all", FP)]
     else:
+        # "sa1" bisects one stage; "sa1+sa2" runs a compound group
+        # (candidate fast modes, e.g. bf16 SA with an f32 reset island)
         stages = args.stages.split(",") if args.stages else SA + FP
-        groups = [(s, [s]) for s in stages]
+        groups = [(s.replace("+", "_"), s.split("+")) for s in stages]
     for name, group in groups:
         for mode in args.modes.split(","):
             variants.append((f"{name}_{mode}", spec(group, mode), "auto"))
