@@ -34,6 +34,8 @@ a tiling plan exists; training and CPU keep the jnp chain.
 
 from typing import Sequence
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -136,8 +138,78 @@ def _bn_forward(mod, entry, x, train, momentum, eps=1e-5):
     return y.astype(x.dtype)
 
 
+def _moment_stats(mod, x, w, b, dtype):
+    """Batch mean/var of ``a = x @ w + b`` computed WITHOUT materializing
+    ``a``: ``E[a] = m1 @ w + b`` and (bias cancels exactly)
+
+        var(a)_j = (w^T C w)_jj / n - (m1 @ w)_j^2,   C = sum_r x_r x_r^T
+
+    i.e. the reductions over the big ``[rows, F_out]`` pre-BN tensor
+    become a skinny ``[F_in, F_in]`` covariance matmul over the INPUT —
+    MXU FLOPs instead of HBM passes (the bench_sa1_ablate.py result: BN
+    passes were ~12 of sa1's 37 ms fwd+bwd).  Same E[a^2]-E[a]^2
+    formulation as ``_bn_forward``, so numerics differ only by matmul
+    reassociation.  Cross-replica: moments are pmean'd like
+    ``_bn_forward`` does."""
+    xf = x.reshape(-1, x.shape[-1])
+    n = xf.shape[0]
+    # HIGH (bf16_3x) keeps the second moment exact to ~1e-6 at half
+    # HIGHEST's passes — statistics, not cancellation-sensitive values
+    prec = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGH
+    xs = xf if dtype is None or dtype == FQ else xf.astype(dtype)
+    # augmented-ones column: one matmul yields C = x^T x AND s1 = sum(x)
+    xa = jnp.concatenate(
+        [xs, jnp.ones((n, 1), xs.dtype)], axis=-1)
+    Ca = jax.lax.dot_general(xa, xa, (((0,), (0,)), ((), ())),
+                             precision=prec,
+                             preferred_element_type=jnp.float32)
+    C, s1 = Ca[:-1, :-1], Ca[:-1, -1]
+    m1 = s1 / n                                              # [Fi]
+    w32 = w.astype(jnp.float32)
+    mw = m1 @ w32                                            # [Fo]
+    q = jnp.sum(w32 * (C @ w32), axis=0) / n                 # [Fo]
+    if mod.axis_name is not None:
+        mw = jax.lax.pmean(mw, mod.axis_name)
+        q = jax.lax.pmean(q, mod.axis_name)
+        n = n * jax.lax.psum(1, mod.axis_name)
+    mean = mw + b.astype(jnp.float32)
+    var = jnp.maximum(q - mw ** 2, 0.0)
+    return mean, var, n
+
+
+def _dense_bn_relu_folded(mod, x, w, b, entry, train, momentum,
+                          dtype, eps=1e-5):
+    """One PointMLP layer as a single fused pass: batch stats via
+    ``_moment_stats`` (train) or running stats (eval), BN folded into the
+    dense weights, ``relu(x @ W' + b')``.  Exactly ``_bn_forward(dense)``
+    up to f32 reassociation; gradients flow through the folded weights
+    and the moment matmuls (no big elementwise BN backward passes)."""
+    scale, bias, ra_mean, ra_var = entry
+    if not train:
+        mean, var = ra_mean.value, ra_var.value
+    else:
+        mean, var, n = _moment_stats(mod, x, w, b, dtype)
+        if not mod.is_initializing():
+            m = jnp.asarray(momentum, jnp.float32)
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+            ra_mean.value = (1.0 - m) * ra_mean.value \
+                + m * jax.lax.stop_gradient(mean)
+            ra_var.value = (1.0 - m) * ra_var.value \
+                + m * jax.lax.stop_gradient(unbiased)
+    g = scale * jax.lax.rsqrt(var + eps)                     # [Fo]
+    w_f = w * g[None, :]
+    b_f = (b - mean) * g + bias
+    return nn.relu(_dense(x, w_f, b_f, dtype))
+
+
 class PointMLP(nn.Module):
     """Shared per-point MLP: [dense -> BN -> ReLU] x len(features).
+
+    On the folded path (default) each layer runs as one fused
+    ``relu(x @ W' + b')`` with batch stats from input moments
+    (``_dense_bn_relu_folded``); ``fq`` keeps the explicit
+    dense/_bn_forward chain (its straight-through rounding must see the
+    same op sequence as real bf16).
 
     ``d_in`` is the static input width (setup-style parameter creation
     so the fused eval path can read folded weights without calling)."""
@@ -164,12 +236,22 @@ class PointMLP(nn.Module):
         self.ws, self.bs, self.bn = ws, bs, bn
 
     def __call__(self, x, train: bool, bn_momentum=0.1):
+        # PRIFIT_FOLDED_BN=0 opts back into the explicit
+        # dense/_bn_forward chain (A/B switch, like PRIFIT_GATHER)
+        folded = os.environ.get("PRIFIT_FOLDED_BN", "1") != "0"
         for i in range(len(self.features)):
-            x = _dense(x, self.ws[i], self.bs[i], self.dtype)
-            x = _bn_forward(self, self.bn[i], x, train, bn_momentum)
-            if self.dtype == FQ:   # bf16 mode rounds BN output to bf16
-                x = _stq(x)
-            x = nn.relu(x)
+            if self.dtype == FQ or not folded:
+                # explicit chain (fq: the straight-through rounding must
+                # see the same op sequence real bf16 runs)
+                x = _dense(x, self.ws[i], self.bs[i], self.dtype)
+                x = _bn_forward(self, self.bn[i], x, train, bn_momentum)
+                if self.dtype == FQ:
+                    x = _stq(x)   # bf16 mode rounds BN output to bf16
+                x = nn.relu(x)
+            else:
+                x = _dense_bn_relu_folded(self, x, self.ws[i],
+                                          self.bs[i], self.bn[i], train,
+                                          bn_momentum, self.dtype)
         return x
 
     def folded_eval(self):
