@@ -119,11 +119,14 @@ def encoder_dtypes(compute_dtype: str):
         return jnp.bfloat16, jnp.bfloat16
     if compute_dtype == "sa_bf16":
         return jnp.bfloat16, None
+    if compute_dtype == "mx":
+        from prifit_tpu.nn.mixed import MX
+        return MX, MX
     return None, None
 
 
 ENCODER_STAGES = ("sa1", "sa2", "sa3", "fp3", "fp2", "fp1")
-STAGE_MODES = ("f32", "bf16", "bfloat16", "q", "fq")
+STAGE_MODES = ("f32", "bf16", "bfloat16", "q", "fq", "mx")
 
 
 def stage_cfg(stage_dtypes: str, stage: str, default_dtype):
@@ -154,6 +157,9 @@ def stage_cfg(stage_dtypes: str, stage: str, default_dtype):
         return None, True
     if mode == "fq":
         return FQ, False
+    if mode == "mx":
+        from prifit_tpu.nn.mixed import MX
+        return MX, False
     return None, False
 
 

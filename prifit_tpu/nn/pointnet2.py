@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from prifit_tpu.nn.mixed import MX, mx_chain
 from prifit_tpu.ops.pallas.fused_sa import (
     fold_bn,
     fused_sa_scale,
@@ -84,6 +85,24 @@ def _cast(x, dtype):
     if dtype == FQ:
         return _stq(x)
     return x.astype(dtype)
+
+
+def _eff(dtype):
+    """Effective array dtype for non-region code paths: ``MX`` behaves as
+    bf16 outside its custom-VJP training region (eval mode, fallbacks)."""
+    return jnp.bfloat16 if dtype == MX else dtype
+
+
+def _update_running(mod, entry, mean, var, momentum, n):
+    """Write running BN stats from region-computed batch stats — same
+    torch convention as ``_bn_forward`` (unbiased var tracked)."""
+    _, _, ra_mean, ra_var = entry
+    if mod.is_initializing():
+        return
+    m = jnp.asarray(momentum, jnp.float32)
+    unbiased = var * (n / max(n - 1.0, 1.0))
+    ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+    ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
 
 
 def _dense(x, w, b=None, dtype=None):
@@ -236,14 +255,23 @@ class PointMLP(nn.Module):
         self.ws, self.bs, self.bn = ws, bs, bn
 
     def __call__(self, x, train: bool, bn_momentum=0.1):
+        if self.dtype == MX and train and self.axis_name is None:
+            # bf16-storage / f32-cotangent region (nn/mixed.py)
+            out, stats = mx_chain((False, False), x.astype(jnp.float32),
+                                  (None, self.mx_params()))
+            self.mx_update_stats(stats, bn_momentum,
+                                 x.size // x.shape[-1])
+            return out
         # PRIFIT_FOLDED_BN=0 opts back into the explicit
         # dense/_bn_forward chain (A/B switch, like PRIFIT_GATHER)
         folded = os.environ.get("PRIFIT_FOLDED_BN", "1") != "0"
+        dt = _eff(self.dtype)
         for i in range(len(self.features)):
             if self.dtype == FQ or not folded:
                 # explicit chain (fq: the straight-through rounding must
                 # see the same op sequence real bf16 runs)
-                x = _dense(x, self.ws[i], self.bs[i], self.dtype)
+                x = _dense(x, self.ws[i], self.bs[i], dt
+                           if self.dtype != FQ else self.dtype)
                 x = _bn_forward(self, self.bn[i], x, train, bn_momentum)
                 if self.dtype == FQ:
                     x = _stq(x)   # bf16 mode rounds BN output to bf16
@@ -251,8 +279,17 @@ class PointMLP(nn.Module):
             else:
                 x = _dense_bn_relu_folded(self, x, self.ws[i],
                                           self.bs[i], self.bn[i], train,
-                                          bn_momentum, self.dtype)
+                                          bn_momentum, dt)
         return x
+
+    def mx_params(self):
+        """((w, b, bn_scale, bn_bias), ...) for the mx region."""
+        return tuple((self.ws[i], self.bs[i], self.bn[i][0],
+                      self.bn[i][1]) for i in range(len(self.features)))
+
+    def mx_update_stats(self, stats, momentum, n):
+        for i, (mean, var) in enumerate(stats):
+            _update_running(self, self.bn[i], mean, var, momentum, n)
 
     def folded_eval(self):
         """Chain weights with eval BN folded in: dense+BN == x @ w' + b'."""
@@ -332,21 +369,16 @@ class GroupedFirstLayer(nn.Module):
         cen = _dense(new_xyz, self.w_xyz)
         return pre * a, cen * a - c
 
-    def __call__(self, xyz, points, new_xyz, idx, train: bool,
-                 bn_momentum=0.1):
-        """xyz [B, N, 3]; points [B, N, D] or None; new_xyz [B, S, 3];
-        idx [B, S, K] -> [B, S, K, features] (post-BN, post-ReLU).
+    def pre_tensor(self, xyz, points, new_xyz, idx):
+        """The pre-BN grouped activation [B, S, K, features], f32.
 
-        Precision note: this layer ends in ``projected_neighbor -
+        Precision note: this value is ``projected_neighbor -
         projected_center`` where the difference is much smaller than the
         operands (sa1 radii are 0.1-0.4 on unit-sphere clouds), so
         bf16-rounded gathers or projections suffer catastrophic
         cancellation that measurably degrades few-shot training
         (STATUS.md bf16 A/B).  The whole affine part therefore runs f32
-        with exact gathers regardless of ``dtype``; the OUTPUT (a small
-        relative quantity, safe in bf16) is cast to ``dtype`` for the
-        downstream MLP chain.
-        """
+        with exact gathers regardless of ``dtype``."""
         prec = jax.lax.Precision.HIGHEST
         if 3 + self.d_in <= self.features:
             grouped = _dense(gather_neighbors(xyz, idx, precision=prec),
@@ -360,8 +392,23 @@ class GroupedFirstLayer(nn.Module):
         else:
             grouped = gather_neighbors(self.pre_affine(xyz, points), idx,
                                        precision=prec)
-        grouped = grouped - _dense(new_xyz, self.w_xyz)[:, :, None, :]
-        grouped = _cast(grouped, self.dtype)
+        return grouped - _dense(new_xyz, self.w_xyz)[:, :, None, :]
+
+    def mx_bn_params(self):
+        return self.bn[0], self.bn[1]
+
+    def mx_update_stats(self, mean, var, momentum, n):
+        _update_running(self, self.bn, mean, var, momentum, n)
+
+    def __call__(self, xyz, points, new_xyz, idx, train: bool,
+                 bn_momentum=0.1):
+        """xyz [B, N, 3]; points [B, N, D] or None; new_xyz [B, S, 3];
+        idx [B, S, K] -> [B, S, K, features] (post-BN, post-ReLU).
+
+        The OUTPUT (a small relative quantity, safe in bf16 — see
+        ``pre_tensor``) is cast to ``dtype`` for the downstream chain."""
+        grouped = self.pre_tensor(xyz, points, new_xyz, idx)
+        grouped = _cast(grouped, _eff(self.dtype))
         grouped = _bn_forward(self, self.bn, grouped, train, bn_momentum)
         if self.dtype == FQ:
             grouped = _stq(grouped)
@@ -390,9 +437,18 @@ def _fused_scale_ok(module, mlp, N, K, S, train):
 def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
                bn_momentum):
     """One SA scale: grouped first layer + chain + max over K, via the
-    fused VMEM kernel (eval, TPU) or the jnp path."""
+    mx custom-VJP region (train), the fused VMEM kernel (eval, TPU), or
+    the jnp path."""
     B, N, _ = xyz.shape
     S, K = idx.shape[1], idx.shape[2]
+    if module.dtype == MX and train and module.axis_name is None:
+        pre = gfl.pre_tensor(xyz, points, new_xyz, idx)
+        params = (gfl.mx_bn_params(), pmlp.mx_params())
+        out, stats = mx_chain((True, True), pre, params)
+        n = B * S * K
+        gfl.mx_update_stats(*stats[0], bn_momentum, n)
+        pmlp.mx_update_stats(stats[1:], bn_momentum, n)
+        return out
     if _fused_scale_ok(module, mlp, N, K, S, train):
         pre, cen = gfl.eval_pre_cen(xyz, points, new_xyz)
         ws, bs = pmlp.folded_eval()
@@ -427,13 +483,22 @@ class SetAbstraction(nn.Module):
         d_in = 0 if points is None else points.shape[-1]
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, points)
-            out = PointMLP(self.mlp, 3 + d_in, self.axis_name, self.dtype)(
-                grouped, train, bn_momentum)
+            pmlp = PointMLP(self.mlp, 3 + d_in, self.axis_name,
+                            self.dtype)
+            if self.dtype == MX and train and self.axis_name is None:
+                out, stats = mx_chain(
+                    (False, True), grouped.astype(jnp.float32),
+                    (None, pmlp.mx_params()))
+                pmlp.mx_update_stats(
+                    stats, bn_momentum,
+                    grouped.size // grouped.shape[-1])
+                return new_xyz, out
+            out = pmlp(grouped, train, bn_momentum)
             return new_xyz, jnp.max(out, axis=2)
 
         # f32 mode keeps gather BACKWARDS exact too (no bf16 cotangent
         # rounding; ops/sampling.py::index_points precision note)
-        prec = None if self.dtype == jnp.bfloat16 \
+        prec = None if _eff(self.dtype) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
         if train:
             key = self.make_rng("sampling")
@@ -485,7 +550,7 @@ class SetAbstractionMsg(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
-        prec = None if self.dtype == jnp.bfloat16 \
+        prec = None if _eff(self.dtype) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
         d_in = 0 if points is None else points.shape[-1]
         if train:
@@ -544,7 +609,7 @@ class FeaturePropagation(nn.Module):
         points1 [B, N, D1] skip or None, points2 [B, S, D2]."""
         # exact feature gather in f32 mode; bf16 rounding is fine (and
         # cheaper) when the whole chain is bf16 anyway
-        prec = None if self.dtype == jnp.bfloat16 \
+        prec = None if _eff(self.dtype) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
         interpolated = three_nn_interpolate(xyz1, xyz2, points2,
                                             precision=prec)

@@ -1,0 +1,214 @@
+"""nn/mixed.py — bf16-storage / f32-cotangent (mx) region tests.
+
+The oracle for the hand-derived backward is autodiff of an f32 emulation
+of the same bf16 forward (straight-through rounding, fq-style): that
+graph's gradients ARE the f32 cotangents mx must produce.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prifit_tpu.nn import pointnet2 as pn2
+from prifit_tpu.nn.mixed import MX, mx_chain
+
+
+def _rt(x):
+    """Straight-through bf16 value rounding (test-side fq emulator)."""
+    x = jnp.asarray(x, jnp.float32)
+    r = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return x + jax.lax.stop_gradient(r - x)
+
+
+def _ref_layer(x, w, b, scale, bias, eps=1e-5):
+    """f32 emulation of mixed._layer_fwd (values match bf16 arithmetic,
+    gradients are exact f32)."""
+    n = x.shape[0]
+    xr = _rt(x)
+    mean_x = jnp.mean(xr, axis=0)
+    C = xr.T @ xr
+    mw = mean_x @ w
+    q = jnp.sum(w * (C @ w), axis=0) / n
+    var = jnp.maximum(q - mw ** 2, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    a = scale * inv
+    Wp = _rt(w * a[None, :])
+    bp = _rt(bias - mw * a)
+    z = _rt(xr @ Wp)
+    return jax.nn.relu(_rt(z + bp)), (mw + b, var)
+
+
+def _ref_chain(pre, params, has_pre_bn, has_max, eps=1e-5):
+    pre_bn, chain = params
+    shape = pre.shape
+    x = _rt(pre).reshape(-1, shape[-1])
+    if has_pre_bn:
+        scale, bias = pre_bn
+        mean = jnp.mean(x, axis=0)
+        var = jnp.maximum(jnp.mean(x ** 2, axis=0) - mean ** 2, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        a = _rt(scale * inv)
+        c = _rt(bias - mean * scale * inv)
+        x = jax.nn.relu(_rt(x * a + c))
+    for layer in chain:
+        x, _ = _ref_layer(x, *layer)
+    if has_max:
+        B, S, K = shape[0], shape[1], shape[2]
+        x = jnp.max(x.reshape(B * S, K, x.shape[-1]), axis=1)
+        return x.reshape(B, S, -1)
+    return x.reshape(*shape[:-1], x.shape[-1])
+
+
+def _params(key, dims):
+    ks = jax.random.split(key, len(dims) - 1)
+    chain = []
+    for k, (fi, fo) in zip(ks, zip(dims[:-1], dims[1:])):
+        w = jax.random.normal(k, (fi, fo), jnp.float32) / np.sqrt(fi)
+        chain.append((w, jnp.zeros((fo,)),
+                      jnp.ones((fo,)), jnp.zeros((fo,))))
+    return tuple(chain)
+
+
+class TestMxChain:
+    @pytest.mark.parametrize("has_pre_bn,has_max", [
+        (True, True), (False, True), (False, False)])
+    def test_matches_f32_emulation(self, has_pre_bn, has_max):
+        key = jax.random.PRNGKey(0)
+        B, S, K, F = 2, 8, 16, 24
+        shape = (B, S, K, F) if has_max else (B, S * K, F)
+        pre = jax.random.normal(key, shape, jnp.float32)
+        chain = _params(jax.random.PRNGKey(1), [F, 32, 48])
+        pre_bn = (jnp.ones((F,)) * 1.3, jnp.ones((F,)) * 0.1) \
+            if has_pre_bn else None
+        params = (pre_bn, chain)
+        cfg = (has_pre_bn, has_max)
+
+        out, stats = mx_chain(cfg, pre, params)
+        ref = _ref_chain(pre, params, has_pre_bn, has_max)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
+        # hand backward vs autodiff of the f32 emulation
+        g_mx = jax.grad(lambda p, pr: jnp.sum(
+            mx_chain(cfg, pr, p)[0] ** 2), argnums=(0, 1))(params, pre)
+        g_ref = jax.grad(lambda p, pr: jnp.sum(
+            _ref_chain(pr, p, has_pre_bn, has_max) ** 2),
+            argnums=(0, 1))(params, pre)
+        # relu/max masks can flip at bf16 decision boundaries where the
+        # real-bf16 and emulated-f32 forwards round differently (the true
+        # function is nonsmooth there), so compare statistically: high
+        # cosine alignment and few outliers, not elementwise equality
+        for a, b in zip(jax.tree_util.tree_leaves(g_mx),
+                        jax.tree_util.tree_leaves(g_ref)):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            denom = np.linalg.norm(a) * np.linalg.norm(b)
+            if denom < 1e-12:
+                continue
+            cos = float(a @ b / denom)
+            assert cos > 0.995, cos
+            scale_ref = max(np.abs(b).max(), 1e-3)
+            frac_bad = np.mean(np.abs(a - b) > 0.05 * scale_ref)
+            assert frac_bad < 0.08, frac_bad
+
+    def test_stats_match_bf16_chain(self):
+        """Region batch stats == explicit-chain stats of the same bf16
+        values (up to accumulation order)."""
+        key = jax.random.PRNGKey(2)
+        pre = jax.random.normal(key, (4, 64, 16), jnp.float32)
+        chain = _params(jax.random.PRNGKey(3), [16, 32])
+        (_, stats) = mx_chain((False, False), pre, (None, chain))
+        (mean, var), = stats
+        xb = pre.astype(jnp.bfloat16).astype(jnp.float32).reshape(-1, 16)
+        a = xb @ chain[0][0] + chain[0][1]
+        np.testing.assert_allclose(np.asarray(mean),
+                                   np.asarray(jnp.mean(a, 0)),
+                                   atol=1e-2, rtol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(var),
+            np.asarray(jnp.mean(a ** 2, 0) - jnp.mean(a, 0) ** 2),
+            atol=1e-2, rtol=2e-2)
+
+
+class TestMxModules:
+    def test_sa_msg_mx_forward_tracks_bf16(self):
+        rng = np.random.default_rng(0)
+        xyz = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+        xyz = xyz / jnp.max(jnp.linalg.norm(xyz, axis=-1, keepdims=True),
+                            axis=1, keepdims=True)
+        key = jax.random.PRNGKey(0)
+
+        def build(dt):
+            return pn2.SetAbstractionMsg(
+                64, [0.2, 0.4], [8, 16], [[16, 16, 32], [16, 24, 32]],
+                dtype=dt)
+
+        m_mx, m_bf = build(MX), build(jnp.bfloat16)
+        v = m_mx.init({"params": key, "sampling": key}, xyz, None,
+                      train=True)
+        (_, o_mx), muts = m_mx.apply(v, xyz, None, train=True,
+                                     rngs={"sampling": key},
+                                     mutable=["batch_stats"])
+        (_, o_bf), _ = m_bf.apply(v, xyz, None, train=True,
+                                  rngs={"sampling": key},
+                                  mutable=["batch_stats"])
+        assert o_mx.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(o_mx, np.float32),
+                                   np.asarray(o_bf, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+        # running stats were written
+        flat = jax.tree_util.tree_leaves(muts["batch_stats"])
+        assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+    def test_sa_msg_mx_grads_finite_f32(self):
+        rng = np.random.default_rng(1)
+        xyz = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+        xyz = xyz / jnp.max(jnp.linalg.norm(xyz, axis=-1, keepdims=True),
+                            axis=1, keepdims=True)
+        key = jax.random.PRNGKey(0)
+        mod = pn2.SetAbstractionMsg(
+            64, [0.2, 0.4], [8, 16], [[16, 16, 32], [16, 24, 32]],
+            dtype=MX)
+        v = mod.init({"params": key, "sampling": key}, xyz, None,
+                     train=True)
+
+        def loss(p):
+            (_, out), _ = mod.apply({**v, "params": p}, xyz, None,
+                                    train=True, rngs={"sampling": key},
+                                    mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(x.dtype == jnp.float32 for x in leaves)
+        total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+        assert np.isfinite(total) and total > 0
+
+    def test_model_level_mx_runs(self):
+        from prifit_tpu.models import get_module
+        mod = get_module("pointnet2_part_seg_msg")
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = jnp.zeros((2, 16), jnp.float32)
+        model = mod.get_model(num_parts=50, compute_dtype="mx")
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "sampling": jax.random.PRNGKey(1),
+                        "dropout": jax.random.PRNGKey(2)},
+                       pts, cls, train=True)
+
+        def loss(p):
+            out, _ = model.apply(
+                {**v, "params": p}, pts, cls, train=True,
+                rngs={"sampling": jax.random.PRNGKey(1),
+                      "dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            return jnp.sum(out.seg_logits ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        total = sum(float(jnp.sum(jnp.abs(x)))
+                    for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+        # eval mode runs through the bf16 fallback path
+        o = model.apply(v, pts, cls, train=False)
+        assert bool(jnp.isfinite(o.seg_logits).all())

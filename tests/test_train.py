@@ -620,8 +620,15 @@ class TestStageDtypes:
         spec_bf = ",".join(f"{s}:bf16" for s in
                            ("sa1", "sa2", "sa3", "fp3", "fp2", "fp1"))
         spec_fq = spec_bf.replace("bf16", "fq")
-        o_bf = mod.get_model(num_parts=50, stage_dtypes=spec_bf).apply(
-            v, pts, cls, train=False).seg_logits
+        # fq mirrors the EXPLICIT bf16 op sequence (the folded-BN path
+        # rounds at different points)
+        import os
+        os.environ["PRIFIT_FOLDED_BN"] = "0"
+        try:
+            o_bf = mod.get_model(num_parts=50, stage_dtypes=spec_bf) \
+                .apply(v, pts, cls, train=False).seg_logits
+        finally:
+            os.environ.pop("PRIFIT_FOLDED_BN", None)
         fq_model = mod.get_model(num_parts=50, stage_dtypes=spec_fq)
         o_fq = fq_model.apply(v, pts, cls, train=False).seg_logits
         o_f32 = base.apply(v, pts, cls, train=False).seg_logits
