@@ -57,6 +57,9 @@ def main():
                     default="coarse")
     ap.add_argument("--stages", default="",
                     help="fine phase: comma list of stages to bisect")
+    ap.add_argument("--full_encoders", default="",
+                    help="extra whole-encoder dtype variants to run "
+                         "(e.g. 'mx')")
     ap.add_argument("--modes", default="bf16,q",
                     help="per-group modes to run (bf16 = fwd+bwd "
                          "rounding, q = output-value rounding only, fq = "
@@ -75,6 +78,9 @@ def main():
                     pass
 
     variants = [("f32", "", "auto"), ("full_bf16", "", "bf16")]
+    for enc in (args.full_encoders.split(",")
+                if args.full_encoders else []):
+        variants.append((f"full_{enc}", "", enc))
     if args.phase == "coarse":
         groups = [("sa_all", SA), ("fp_all", FP)]
     else:
@@ -84,7 +90,9 @@ def main():
         groups = [(s.replace("+", "_"), s.split("+")) for s in stages]
     for name, group in groups:
         for mode in args.modes.split(","):
-            variants.append((f"{name}_{mode}", spec(group, mode), "auto"))
+            if mode:
+                variants.append((f"{name}_{mode}", spec(group, mode),
+                                 "auto"))
 
     seeds = [int(s) for s in args.seeds.split(",")]
     env = dict(os.environ)
