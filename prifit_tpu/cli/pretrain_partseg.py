@@ -1,10 +1,16 @@
 """Self-supervised pretrainer.
 
-Rebuilds ``pretrain_partseg_shapenet.py:62-469``: convex-loss-only
+Rebuilds ``pretrain_partseg_shapenet.py:62-469``: convex-loss
 training on unlabeled ACD data with extra augmentations (anisotropic
 scale, y-rotation), a per-epoch self-sup validation loss on the held-out
 20% split, checkpoints every 5 epochs, and best-model selection by
 validation loss (``:428-454``).
+
+``--ss_loss contrastive`` swaps the convex objective for the ACD
+pairwise contrastive loss — the criterion the reference constructs at
+``pretrain_partseg_shapenet.py:212`` (``MODEL.get_selfsup_loss``) and
+then bypasses at ``:358`` in favor of the convex loss; here both paths
+are runnable.
 
 The reference's optional ModelNet40 SVM probe imports two modules that do
 not exist in its repo (SURVEY.md §2.9.3) — the hook here
@@ -36,7 +42,7 @@ from prifit_tpu.parallel import (
 from prifit_tpu.train.checkpoint import save_checkpoint
 from prifit_tpu.train.schedules import bn_momentum_schedule, lr_schedule
 from prifit_tpu.train.state import create_train_state, selfsup_init_kwargs
-from prifit_tpu.train.steps import make_selfsup_step
+from prifit_tpu.train.steps import make_contrastive_step, make_selfsup_step
 
 
 def augment_pretrain(points, args, rng):
@@ -124,23 +130,35 @@ def main(args):
         seed=args.seed)
 
     mesh = make_data_mesh(args.batch_size)
-    convex_flags = dict(
-        include_convex_loss=True, if_cuboid=args.if_cuboid,
-        include_intersect_loss=args.include_intersect_loss,
-        include_entropy_loss=args.include_entropy_loss,
-        include_pruning=args.include_pruning, quantile=args.quantile,
-        msc_iterations=args.msc_iterations,
-        max_num_clusters=args.max_num_clusters,
-        num_bandwidth_candidates=args.num_bandwidth_candidates,
-        n_per_prim=args.n_per_prim, alpha=args.alpha)
-    ss_step = make_selfsup_step(model, **convex_flags)
+    contrastive = args.ss_loss == "contrastive"
+    if contrastive:
+        ss_step = make_contrastive_step(model, mod.get_selfsup_loss,
+                                        margin=args.margin)
 
-    @jax.jit
-    def val_forward(variables, points, chamfer_points, cls_onehot):
-        out = model.apply(variables, points, cls_onehot,
-                          chamfer_points=chamfer_points, train=False,
-                          **convex_flags)
-        return out.total_loss, out.chamfer_loss
+        @jax.jit
+        def val_forward(variables, points, target, cls_onehot, key):
+            out = model.apply(variables, points, cls_onehot, train=False)
+            loss = mod.get_selfsup_loss(out.feat, target, key,
+                                        args.margin)
+            return loss, jnp.zeros(())
+    else:
+        convex_flags = dict(
+            include_convex_loss=True, if_cuboid=args.if_cuboid,
+            include_intersect_loss=args.include_intersect_loss,
+            include_entropy_loss=args.include_entropy_loss,
+            include_pruning=args.include_pruning, quantile=args.quantile,
+            msc_iterations=args.msc_iterations,
+            max_num_clusters=args.max_num_clusters,
+            num_bandwidth_candidates=args.num_bandwidth_candidates,
+            n_per_prim=args.n_per_prim, alpha=args.alpha)
+        ss_step = make_selfsup_step(model, **convex_flags)
+
+        @jax.jit
+        def val_forward(variables, points, chamfer_points, cls_onehot):
+            out = model.apply(variables, points, cls_onehot,
+                              chamfer_points=chamfer_points, train=False,
+                              **convex_flags)
+            return out.total_loss, out.chamfer_loss
 
     base_key = jax.random.PRNGKey(args.seed)
     best_val = np.inf
@@ -161,14 +179,25 @@ def main(args):
         from prifit_tpu.data.loader import prefetch_to_device
 
         def transform(item):
-            pts, chamfer_pts, cls, _seg = item
+            pts, chamfer_pts, cls, seg = item
+            cls_zero = np.zeros((pts.shape[0], args.num_classes),
+                                np.float32)
+            if contrastive:
+                # contrastive pairs need seg-aligned points: use the
+                # npoint cloud (whose component labels ride along), not
+                # a chamfer re-sample
+                pts = augment_pretrain(pts, args, rng)
+                enc_pts = pts[:, :, :3]
+                if args.normal:
+                    enc_pts = np.concatenate(
+                        [enc_pts, np.zeros_like(enc_pts)], -1)
+                return (enc_pts.astype(np.float32), cls_zero,
+                        seg.astype(np.int32))
             pts = augment_pretrain(pts, args, rng)
             chamfer_pts = augment_pretrain(chamfer_pts, args, rng)
             choice = rng.choice(chamfer_pts.shape[1], args.npoint,
                                 replace=False)
             enc_pts = chamfer_pts[:, choice, :]
-            cls_zero = np.zeros((pts.shape[0], args.num_classes),
-                                np.float32)
             return (enc_pts.astype(np.float32),
                     chamfer_pts[:, :, :3].astype(np.float32), cls_zero)
 
@@ -179,8 +208,12 @@ def main(args):
         losses = []
         for i, batch in enumerate(stream):
             key = jax.random.fold_in(base_key, epoch * 1000003 + i)
-            state, m = ss_step(state, batch[0], batch[1], batch[2],
-                               lr, momentum, 1.0, key)
+            if contrastive:
+                state, m = ss_step(state, batch[0], batch[1], batch[2],
+                                   lr, momentum, args.lmbda, key)
+            else:
+                state, m = ss_step(state, batch[0], batch[1], batch[2],
+                                   lr, momentum, 1.0, key)
             losses.append(m["ss_loss"])
             tb.scalar("selfsup_loss_iter", np.asarray(m["ss_loss"]),
                       epoch * len(train_loader) + i + 1)
@@ -192,14 +225,24 @@ def main(args):
         # per-epoch ACD-val loss (pretrain:377-402)
         val_losses = []
         variables = state.variables()
-        for pts, chamfer_pts, cls, _seg in val_loader:
-            choice = rng.choice(chamfer_pts.shape[1], args.npoint,
-                                replace=False)
-            enc_pts = chamfer_pts[:, choice, :]
+        for vi, (pts, chamfer_pts, cls, seg) in enumerate(val_loader):
             cls_zero = jnp.zeros((pts.shape[0], args.num_classes))
-            total, _ = val_forward(variables, jnp.asarray(enc_pts),
-                                   jnp.asarray(chamfer_pts[:, :, :3]),
-                                   cls_zero)
+            if contrastive:
+                enc_pts = pts[:, :, :3]
+                if args.normal:
+                    enc_pts = np.concatenate(
+                        [enc_pts, np.zeros_like(enc_pts)], -1)
+                total, _ = val_forward(
+                    variables, jnp.asarray(enc_pts, jnp.float32),
+                    jnp.asarray(seg.astype(np.int32)), cls_zero,
+                    jax.random.fold_in(base_key, 7000003 + vi))
+            else:
+                choice = rng.choice(chamfer_pts.shape[1], args.npoint,
+                                    replace=False)
+                enc_pts = chamfer_pts[:, choice, :]
+                total, _ = val_forward(variables, jnp.asarray(enc_pts),
+                                       jnp.asarray(chamfer_pts[:, :, :3]),
+                                       cls_zero)
             val_losses.append(float(total))
         val_loss = float(np.mean(val_losses)) if val_losses else np.inf
         tb.scalar("selfsup_loss_val", val_loss, epoch)

@@ -411,6 +411,28 @@ class TestPretrainAndTestingCLI:
         assert glob.glob(str(tmp_path / "log" / "**" / "best_model"),
                          recursive=True)
 
+    def test_pretrain_cli_contrastive(self, tmp_path):
+        """--ss_loss contrastive pretrains with the ACD pairwise
+        contrastive loss (the criterion the reference builds at
+        ``pretrain:212`` and bypasses at ``:358``)."""
+        from prifit_tpu.cli.args_parser import parse_args
+        from prifit_tpu.cli.pretrain_partseg import main
+
+        acd = make_acd_fixture(str(tmp_path / "acd"), n_shapes=10,
+                               n_points=96)
+        args = parse_args([
+            "--model", "pretrain_pointnet2_part_seg_msg", "--epoch", "2",
+            "--batch_size", "2", "--npoint", "96", "--selfsup",
+            "--ss_loss", "contrastive", "--ss_path", acd,
+            "--chamfer_npoints", "96",
+            "--experiment_root", str(tmp_path / "log"),
+            "--learning_rate", "0.001"])
+        best_val = main(args)
+        assert np.isfinite(best_val)
+        import glob
+        assert glob.glob(str(tmp_path / "log" / "**" / "best_model"),
+                         recursive=True)
+
     def test_finetune_from_pretrain_checkpoint(self, tmp_path):
         """--pretrained_model warm-starts the finetune trainer from a
         pretrain checkpoint: backbone params come from the checkpoint,

@@ -61,12 +61,17 @@ def final_metrics(exp_dir):
     return final
 
 
-def ensure_pretrain(seed, args, env):
+def ensure_pretrain(seed, args, env, ss_loss="convex"):
     """Run (or reuse) the ACD self-sup pretrain for this seed; return the
     best_model checkpoint path (reference recipe step 1,
-    ``pretrain_partseg_shapenet.py`` -> ``--pretrained_model``)."""
+    ``pretrain_partseg_shapenet.py`` -> ``--pretrained_model``).
+
+    ``ss_loss="contrastive"`` pretrains with the ACD pairwise
+    contrastive loss instead (reference ``pretrain:212``)."""
     import glob
-    root = osp.join(args.data, "pretrain", f"s{seed}_e{args.pre_epochs}")
+    suffix = "_con" if ss_loss == "contrastive" else ""
+    root = osp.join(args.data, "pretrain",
+                    f"s{seed}_e{args.pre_epochs}{suffix}")
     found = glob.glob(osp.join(root, "**", "best_model"), recursive=True)
     if found:
         return found[0]
@@ -86,6 +91,7 @@ def ensure_pretrain(seed, args, env):
            "--quantile", str(args.quantile),
            "--alpha", str(args.alpha),
            "--msc_iterations", "10", "--max_num_clusters", "25",
+           "--ss_loss", ss_loss,
            "--experiment_root", root]
     print(f"  pretraining (seed {seed}, {args.pre_epochs} epochs)...",
           flush=True)
@@ -125,7 +131,13 @@ def build_cmd(cfg, args, run_root):
                 "--alpha", str(cfg["alpha"]),
                 "--msc_iterations", "10",
                 "--max_num_clusters", "25"]
-    if cfg["arm"] in ("pre", "pre_joint"):
+    if cfg["arm"] == "con":
+        # joint with the ACD pairwise contrastive self-sup loss — the
+        # component labels carry the part structure directly
+        cmd += ["--selfsup", "--ss_loss", "contrastive",
+                "--ss_dataset", "acd", "--ss_path", args.ss_path,
+                "--lmbda", str(cfg["lmbda"])]
+    if cfg["arm"] in ("pre", "pre_joint", "pre_con"):
         cmd += ["--pretrained_model", cfg["ckpt"]]
         if args.ft_lr:
             cmd[cmd.index("--learning_rate") + 1] = str(args.ft_lr)
@@ -196,7 +208,7 @@ def main():
                    lmbda=args.lmbda, quantile=args.quantile,
                    alpha=args.alpha, epochs=args.epochs,
                    encoder_dtype=args.encoder_dtype, **sw)
-        if arm in ("pre", "pre_joint"):
+        if arm in ("pre", "pre_joint", "pre_con"):
             cfg["pre_epochs"] = args.pre_epochs
             if args.ft_lr:
                 cfg["ft_lr"] = args.ft_lr
@@ -221,9 +233,12 @@ def main():
         run_root = osp.join(args.data, "runs", tag)
         t0 = time.time()
         print(f"[{i + 1}/{len(runs)}] {key}", flush=True)
-        if cfg["arm"] in ("pre", "pre_joint"):
+        if cfg["arm"] in ("pre", "pre_joint", "pre_con"):
             try:
-                cfg["ckpt"] = ensure_pretrain(cfg["seed"], args, env)
+                cfg["ckpt"] = ensure_pretrain(
+                    cfg["seed"], args, env,
+                    ss_loss="contrastive" if cfg["arm"] == "pre_con"
+                    else "convex")
             except RuntimeError as e:
                 print(f"  {e}", flush=True)
                 continue
