@@ -16,13 +16,13 @@ scale-level ``jax.custom_vjp`` region whose
 Region boundaries (stage inputs/outputs — post-max [B, S, F] tensors,
 small) stay f32 primals, so no cotangent is ever rounded anywhere.
 
-Layers use the folded-BN formulation (``nn/pointnet2.py::
-_dense_bn_relu_folded``): batch stats come from an augmented-ones input
-covariance (one skinny MXU matmul; the dense bias cancels analytically)
-and the normalize folds into the dense weights, so the pre-BN tensor is
-never materialized.  The hand backward is the exact transpose of that
-forward — BN's reductions ride the ``x^T g`` matmul the dense backward
-needs anyway.
+Layers use the explicit dense -> BN -> relu formulation on bf16
+storage: stats reduce over the [n, Fo] pre-activation the layer
+materializes anyway (the dense bias cancels analytically in BN's mean
+subtraction and is skipped).  A folded-into-dense variant with
+input-covariance stats was tried and reverted: its [Fi+1]^2 covariance
+matmul + transpose cost more than the dense itself at wide-input
+layers (see ``nn/pointnet2.py::_dense_bn_relu_folded``, now opt-in).
 
 Rebuilds the training path of ``models/pointnet_util.py:204-261`` (SA)
 and ``:264-314`` (FP) with identical parameters; numerics match the
@@ -45,34 +45,25 @@ _EPS = 1e-5
 # ---------------------------------------------------------------- layers
 
 def _layer_fwd(xf, w, b, scale, bias):
-    """One folded dense+BN+relu layer on bf16 storage.
+    """One dense+BN+relu layer on bf16 storage (explicit-BN form).
 
     ``xf``: [n, Fi] bf16.  Returns (y [n, Fo] bf16, (mean, var) for the
-    running stats, residuals for the hand backward)."""
-    n = xf.shape[0]
-    ones = jnp.ones((n, 1), MXDT)
-    xa = jnp.concatenate([xf, ones], axis=1)
-    Ca = jax.lax.dot_general(xa, xa, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    C, s1 = Ca[:-1, :-1], Ca[:-1, -1]
-    m1 = s1 / n
-    w32 = w.astype(jnp.float32)
-    mw = m1 @ w32
-    Cw = C @ w32
-    q = jnp.sum(w32 * Cw, axis=0) / n
-    raw = q - mw ** 2
-    var = jnp.maximum(raw, 0.0)
-    inv = jax.lax.rsqrt(var + _EPS)
-    a = scale * inv
-    Wp = (w32 * a[None, :]).astype(MXDT)
-    bp = (bias - mw * a).astype(MXDT)
-    z = jax.lax.dot_general(xf, Wp, (((1,), (0,)), ((), ())),
+    running stats, residuals for the hand backward).
+
+    The dense bias is NOT added to the pre-activation: BN's mean
+    subtraction cancels it analytically, so only the reported running
+    mean carries ``+ b``.  The earlier folded-into-dense formulation
+    (input-covariance stats, ``_moment_stats``-style) was measured
+    SLOWER in training — the [Fi+1]^2 covariance matmul and its
+    transpose dwarf the dense itself at wide-input layers (FP stages,
+    Fi ~ 1.3k) — so stats come from one reduction over the [n, Fo]
+    pre-activation this layer materializes anyway."""
+    z = jax.lax.dot_general(xf, w.astype(MXDT),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=MXDT)
-    y = jax.nn.relu(z + bp)
-    mean = mw + b.astype(jnp.float32)
-    res = (xf, y, w32, scale, m1, mw, Cw, raw, inv, a,
-           jnp.asarray(n, jnp.float32))
-    return y, (mean, var), res
+    y, (mean_z, var), res_bn = _prebn_fwd(z, scale, bias)
+    mean = mean_z + b.astype(jnp.float32)
+    return y, (mean, var), (xf, w, res_bn)
 
 
 def _layer_bwd(res, g):
@@ -80,36 +71,26 @@ def _layer_bwd(res, g):
 
     ``g``: [n, Fo] f32.  Returns (dx [n, Fi] f32, (dw, db, dscale,
     dbias)).  ``db`` is exactly zero — BN's mean subtraction absorbs the
-    dense bias analytically."""
-    xf, y, w32, scale, m1, mw, Cw, raw, inv, a, n = res
-    gm = jnp.where(y > 0, g, 0.0)                          # [n, Fo] f32
+    dense bias analytically (its only effect is the running mean, which
+    feeds stop_gradient'd updates)."""
+    xf, w, res_bn = res
+    dz, (dscale, dbias) = _prebn_bwd(res_bn, g)            # [n, Fo] f32
     x32 = xf.astype(jnp.float32)
-    Wpt = w32 * a[None, :]
-    dx = jax.lax.dot_general(gm, Wpt, (((1,), (1,)), ((), ())),
+    w32 = w.astype(jnp.float32)
+    dx = jax.lax.dot_general(dz, w32, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dWp = jax.lax.dot_general(x32, gm, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dbp = jnp.sum(gm, axis=0)                              # [Fo]
-    dbias = dbp
-    da = jnp.sum(w32 * dWp, axis=0) - mw * dbp
-    dw = dWp * a[None, :]
-    dmw = -a * dbp
-    dscale = da * inv
-    dinv = da * scale
-    dvar = -0.5 * inv ** 3 * dinv
-    draw = jnp.where(raw > 0, dvar, 0.0)
-    dmw = dmw - 2.0 * mw * draw
-    dw = dw + 2.0 * Cw * draw[None, :] / n
-    M = (w32 * draw[None, :]) @ w32.T / n                  # [Fi, Fi]
-    dm1 = w32 @ dmw
-    dw = dw + jnp.outer(m1, dmw)
-    dx = dx + 2.0 * (x32 @ M) + (dm1 / n)[None, :]
-    return dx, (dw, jnp.zeros_like(dbp), dscale, dbias)
+    dw = jax.lax.dot_general(x32, dz, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return dx, (dw, jnp.zeros(w.shape[1], jnp.float32), dscale, dbias)
 
 
 def _prebn_fwd(xf, scale, bias):
     """BN+relu on an externally-computed pre-activation (the grouped
-    first layer's affine output).  ``xf``: [n, F] bf16."""
+    first layer's affine output).  ``xf``: [n, F] bf16.
+
+    Only ``xf`` is saved for the backward — ``y`` is recomputed from it
+    there (one cheap elementwise pass instead of a second [n, F] HBM
+    round trip)."""
     n = xf.shape[0]
     x32m = xf.astype(jnp.float32)
     mean = jnp.mean(x32m, axis=0)
@@ -118,13 +99,14 @@ def _prebn_fwd(xf, scale, bias):
     a = (scale * inv).astype(MXDT)
     c = (bias - mean * scale * inv).astype(MXDT)
     y = jax.nn.relu(xf * a + c)
-    res = (xf, y, scale, mean, inv, jnp.asarray(n, jnp.float32))
+    res = (xf, a, c, scale, mean, inv, jnp.asarray(n, jnp.float32))
     return y, (mean, var), res
 
 
 def _prebn_bwd(res, g):
     """Standard BN backward, f32 cotangents, bf16 residuals."""
-    xf, y, scale, mean, inv, n = res
+    xf, a, c, scale, mean, inv, n = res
+    y = xf * a + c                       # recompute relu sign, bf16
     gb = jnp.where(y > 0, g, 0.0)
     xhat = (xf.astype(jnp.float32) - mean) * inv
     dbias = jnp.sum(gb, axis=0)
@@ -156,7 +138,9 @@ def _mx_impl(cfg, pre, params):
         h = xf.reshape(B * S, K, xf.shape[-1])
         out_bf = jnp.max(h, axis=1)
         out = out_bf.astype(jnp.float32).reshape(B, S, -1)
-        max_res = (h, out_bf)
+        # h is the last layer's y — recomputed in the backward from that
+        # layer's stored pre-activation, so only the K-reduced max is saved
+        max_res = out_bf
     else:
         out = xf.astype(jnp.float32).reshape(*shape[:-1], xf.shape[-1])
         max_res = None
@@ -183,9 +167,17 @@ def _mx_fwd(cfg, pre, params):
 def _mx_bwd(cfg, saved, cots):
     has_pre_bn, has_max = cfg
     (residuals, max_res, shape), params = saved
+    pre_bn, chain = params
     g_out, _ = cots          # stats feed stop_gradient'd updates only
     if has_max:
-        h, out_bf = max_res
+        out_bf = max_res
+        # recompute the last layer's y (= h) from its stored residuals:
+        # a _layer res is (xf, w, res_bn), a _prebn res is the bn tuple
+        last = residuals[-1][2] if chain else residuals[-1]
+        zl, al, cl = last[0], last[1], last[2]
+        h_flat = jax.nn.relu(zl * al + cl)                 # [n, F] bf16
+        rows, F = out_bf.shape
+        h = h_flat.reshape(rows, h_flat.shape[0] // rows, F)
         g = g_out.reshape(out_bf.shape).astype(jnp.float32)
         mask = (h == out_bf[:, None, :])
         cnt = jnp.sum(mask, axis=1, keepdims=True)
@@ -194,7 +186,6 @@ def _mx_bwd(cfg, saved, cots):
     else:
         g = g_out.reshape(-1, g_out.shape[-1]).astype(jnp.float32)
 
-    pre_bn, chain = params
     d_chain = []
     for res in reversed(residuals[1 if has_pre_bn else 0:]):
         g, grads = _layer_bwd(res, g)

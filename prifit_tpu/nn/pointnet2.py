@@ -224,11 +224,12 @@ def _dense_bn_relu_folded(mod, x, w, b, entry, train, momentum,
 class PointMLP(nn.Module):
     """Shared per-point MLP: [dense -> BN -> ReLU] x len(features).
 
-    On the folded path (default) each layer runs as one fused
-    ``relu(x @ W' + b')`` with batch stats from input moments
-    (``_dense_bn_relu_folded``); ``fq`` keeps the explicit
-    dense/_bn_forward chain (its straight-through rounding must see the
-    same op sequence as real bf16).
+    Default is the explicit dense -> BN -> relu chain; the
+    folded-into-dense variant with input-moment stats
+    (``_dense_bn_relu_folded``) is the ``PRIFIT_FOLDED_BN=1`` opt-in —
+    measured slower in training (the covariance matmul + transpose
+    dwarf the dense at wide-input layers) but kept for A/B and for the
+    stats-free eval fold (``folded_eval``).
 
     ``d_in`` is the static input width (setup-style parameter creation
     so the fused eval path can read folded weights without calling)."""
@@ -262,9 +263,12 @@ class PointMLP(nn.Module):
             self.mx_update_stats(stats, bn_momentum,
                                  x.size // x.shape[-1])
             return out
-        # PRIFIT_FOLDED_BN=0 opts back into the explicit
-        # dense/_bn_forward chain (A/B switch, like PRIFIT_GATHER)
-        folded = os.environ.get("PRIFIT_FOLDED_BN", "1") != "0"
+        # Explicit dense/_bn_forward chain by default; PRIFIT_FOLDED_BN=1
+        # opts into the folded-into-dense variant (A/B switch, like
+        # PRIFIT_GATHER).  Folded was measured SLOWER in training (f32
+        # sup step 59 -> 121 ms): the input-covariance stats matmul and
+        # its transpose dwarf the dense at wide-input layers.
+        folded = os.environ.get("PRIFIT_FOLDED_BN", "0") == "1"
         dt = _eff(self.dtype)
         for i in range(len(self.features)):
             if self.dtype == FQ or not folded:

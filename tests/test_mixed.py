@@ -23,20 +23,18 @@ def _rt(x):
 
 def _ref_layer(x, w, b, scale, bias, eps=1e-5):
     """f32 emulation of mixed._layer_fwd (values match bf16 arithmetic,
-    gradients are exact f32)."""
-    n = x.shape[0]
+    gradients are exact f32): z = x @ w in bf16, explicit BN stats over
+    z (f32 reductions), bf16 scale/shift + relu.  The dense bias is
+    skipped in the pre-activation (BN mean subtraction cancels it) and
+    only shifts the reported running mean."""
     xr = _rt(x)
-    mean_x = jnp.mean(xr, axis=0)
-    C = xr.T @ xr
-    mw = mean_x @ w
-    q = jnp.sum(w * (C @ w), axis=0) / n
-    var = jnp.maximum(q - mw ** 2, 0.0)
+    z = _rt(xr @ _rt(w))
+    mean = jnp.mean(z, axis=0)
+    var = jnp.maximum(jnp.mean(z ** 2, axis=0) - mean ** 2, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    a = scale * inv
-    Wp = _rt(w * a[None, :])
-    bp = _rt(bias - mw * a)
-    z = _rt(xr @ Wp)
-    return jax.nn.relu(_rt(z + bp)), (mw + b, var)
+    a = _rt(scale * inv)
+    c = _rt(bias - mean * scale * inv)
+    return jax.nn.relu(_rt(z * a + c)), (mean + b, var)
 
 
 def _ref_chain(pre, params, has_pre_bn, has_max, eps=1e-5):
@@ -154,9 +152,14 @@ class TestMxModules:
                                   rngs={"sampling": key},
                                   mutable=["batch_stats"])
         assert o_mx.dtype == jnp.float32
-        np.testing.assert_allclose(np.asarray(o_mx, np.float32),
-                                   np.asarray(o_bf, np.float32),
-                                   atol=5e-2, rtol=5e-2)
+        # mx folds BN to z*a+c (bf16) while the explicit chain computes
+        # (z-mean)*inv*scale+bias — different bf16 rounding can flip a
+        # relu/max winner at a decision boundary, so allow a tiny
+        # mismatch fraction rather than elementwise equality
+        a = np.asarray(o_mx, np.float32)
+        bref = np.asarray(o_bf, np.float32)
+        bad = np.abs(a - bref) > (5e-2 + 5e-2 * np.abs(bref))
+        assert np.mean(bad) < 1e-3, np.mean(bad)
         # running stats were written
         flat = jax.tree_util.tree_leaves(muts["batch_stats"])
         assert any(float(jnp.abs(x).max()) > 0 for x in flat)
