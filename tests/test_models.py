@@ -235,3 +235,36 @@ class TestShapeRobustness:
         new_xyz, feats = sa.apply(v, cloud, cloud, False)
         assert new_xyz.shape == (B, 16, 3)
         assert feats.shape == (B, 16, 16)
+
+
+class TestFoldedBNOptIn:
+    def test_folded_matches_explicit_chain(self):
+        """PRIFIT_FOLDED_BN=1 (the opt-in folded-into-dense variant,
+        reverted from default after the measured training regression)
+        stays numerically equivalent to the default explicit
+        dense/BN/relu chain: outputs and running stats to ~1e-4."""
+        import os
+
+        from prifit_tpu.nn.pointnet2 import PointMLP
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 64, 16)), jnp.float32)
+        mlp = PointMLP([32, 48], d_in=16)
+        v = mlp.init(jax.random.PRNGKey(0), x, True)
+
+        out_e, muts_e = mlp.apply(v, x, True, mutable=["batch_stats"])
+        os.environ["PRIFIT_FOLDED_BN"] = "1"
+        try:
+            out_f, muts_f = mlp.apply(v, x, True,
+                                      mutable=["batch_stats"])
+        finally:
+            os.environ.pop("PRIFIT_FOLDED_BN", None)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                                   atol=1e-4, rtol=1e-4)
+        for (ke, le), (kf, lf) in zip(
+                sorted(muts_e["batch_stats"].items()),
+                sorted(muts_f["batch_stats"].items())):
+            assert ke == kf
+            np.testing.assert_allclose(np.asarray(lf), np.asarray(le),
+                                       atol=1e-4, rtol=1e-4,
+                                       err_msg=ke)
