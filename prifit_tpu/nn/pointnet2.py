@@ -105,6 +105,36 @@ def _update_running(mod, entry, mean, var, momentum, n):
     ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
 
 
+def _mlp_chain_pure(x, params, axis_name, dtype, eps=1e-5):
+    """Pure train-mode [dense -> BN -> relu] chain for :func:`jax.checkpoint`.
+
+    ``params = ((w, b, scale, bias), ...)``.  Returns
+    ``(y, ((mean, var), ...))`` — running-stat writes happen in the
+    caller (module state can't live inside a remat region).  Same math
+    as ``_dense`` + ``_bn_forward`` (f32 statistics, E[x^2]-E[x]^2).
+
+    Measured on the sup step this is SLOWER than the default (74.5 vs
+    59.3 ms — XLA already streams the saved residuals well), so it is
+    an opt-in (``PRIFIT_REMAT_MLP=1``) for memory-bound regimes (e.g.
+    large-N point-SP), not a speed knob."""
+    stats = []
+    for w, b, scale, bias in params:
+        x = _dense(x, w, b, dtype)
+        reduce_axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=reduce_axes)
+        mean2 = jnp.mean(x32 ** 2, axis=reduce_axes)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean2 = jax.lax.pmean(mean2, axis_name)
+        var = jnp.maximum(mean2 - mean ** 2, 0.0)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        y = (y * scale + bias).astype(x.dtype)
+        x = nn.relu(y)
+        stats.append((mean, var))
+    return x, tuple(stats)
+
+
 def _dense(x, w, b=None, dtype=None):
     """``nn.Dense`` equivalent on explicit parameters: contract the last
     axis, default precision, optional compute dtype (casts inputs AND
@@ -270,6 +300,25 @@ class PointMLP(nn.Module):
         # its transpose dwarf the dense at wide-input layers.
         folded = os.environ.get("PRIFIT_FOLDED_BN", "0") == "1"
         dt = _eff(self.dtype)
+        # PRIFIT_REMAT_MLP=1: remat the chain so the backward recomputes
+        # the [rows, F] intermediates.  Measured SLOWER on the sup step
+        # (74.5 vs 59.3 ms — XLA already streams the residuals well), so
+        # it is an opt-in for memory-bound regimes (large-N point-SP),
+        # not a speed knob.
+        remat = os.environ.get("PRIFIT_REMAT_MLP", "0") == "1"
+        if train and remat and not folded and self.dtype != FQ:
+            params = tuple((self.ws[i], self.bs[i], self.bn[i][0],
+                            self.bn[i][1])
+                           for i in range(len(self.features)))
+            chain = jax.checkpoint(
+                _mlp_chain_pure, static_argnums=(2, 3))
+            y, stats = chain(x, params, self.axis_name, dt)
+            # local row count, matching _bn_forward's unbiased correction
+            n = x.size // x.shape[-1]
+            for i, (mean, var) in enumerate(stats):
+                _update_running(self, self.bn[i], mean, var,
+                                bn_momentum, n)
+            return y
         for i in range(len(self.features)):
             if self.dtype == FQ or not folded:
                 # explicit chain (fq: the straight-through rounding must

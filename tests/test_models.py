@@ -268,3 +268,41 @@ class TestFoldedBNOptIn:
             np.testing.assert_allclose(np.asarray(lf), np.asarray(le),
                                        atol=1e-4, rtol=1e-4,
                                        err_msg=ke)
+
+    def test_remat_optin_matches_default(self):
+        """PRIFIT_REMAT_MLP=1 (memory opt-in) is the same computation
+        under jax.checkpoint — outputs and running stats match the
+        default path exactly."""
+        import os
+
+        from prifit_tpu.nn.pointnet2 import PointMLP
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 32, 8, 16)), jnp.float32)
+        mlp = PointMLP([32, 48], d_in=16)
+        v = mlp.init(jax.random.PRNGKey(0), x, True)
+
+        def run():
+            out, muts = mlp.apply(v, x, True, mutable=["batch_stats"])
+            g = jax.grad(lambda vv: float(0) + jnp.sum(
+                mlp.apply({**v, "params": vv}, x, True,
+                          mutable=["batch_stats"])[0] ** 2))(v["params"])
+            return out, muts, g
+
+        out_d, muts_d, g_d = run()
+        os.environ["PRIFIT_REMAT_MLP"] = "1"
+        try:
+            out_r, muts_r, g_r = run()
+        finally:
+            os.environ.pop("PRIFIT_REMAT_MLP", None)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_d),
+                                   atol=1e-6, rtol=1e-6)
+        for (kd, ld), (kr, lr) in zip(
+                sorted(muts_d["batch_stats"].items()),
+                sorted(muts_r["batch_stats"].items())):
+            np.testing.assert_allclose(np.asarray(lr), np.asarray(ld),
+                                       atol=1e-6, rtol=1e-6, err_msg=kd)
+        for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                        jax.tree_util.tree_leaves(g_d)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
