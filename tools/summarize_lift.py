@@ -56,8 +56,8 @@ def summarize_matrix(rows):
             arms_seen.append(c["arm"])
         base[(c["k_shot"], knobs)][(c["arm"], c["seed"])] = \
             d["metrics"]["class_avg_iou"]
-    arms = [a for a in ("sup", "joint", "pre", "pre_joint")
-            if a in arms_seen]
+    arms = [a for a in ("sup", "joint", "con", "pre", "pre_joint",
+                        "pre_con") if a in arms_seen]
 
     hdr = f"{'k':>3} {'lmbda':>6} {'q':>5} {'alpha':>6} {'ss':>3} {'pe':>3}"
     for a in arms:
