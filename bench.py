@@ -39,7 +39,7 @@ def measure_tpu() -> float:
 
     # shared flagship construction (tiny init batch: parameter shapes are
     # batch-independent, and a full-size init would double cold-compile)
-    _, model, state, _, _, _ = _flagship(
+    mod, model, state, _, _, _ = _flagship(
         npoint=64, quantile=0.05, msc_iterations=10, max_num_clusters=25,
         n_per_prim=256, batch=2)
     rng = np.random.default_rng(0)
@@ -90,7 +90,21 @@ def measure_tpu() -> float:
         st, m = ss_step(st, points, points, cls, 0.001, 0.1, 1.0, key)
     _ = float(np.asarray(m["ss_loss"]))
     ss_dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
-    return BATCH / dt, BATCH / ss_dt, compile_s
+
+    # the supervised step (fwd+bwd+opt): the few-shot finetune workload,
+    # regression-tracks the encoder backward that the headline omits
+    from prifit_tpu.train.steps import make_supervised_step
+
+    sup_step = make_supervised_step(model, mod.get_loss)
+    target = jnp.zeros((BATCH, NPOINT), jnp.int32)
+    st, m = sup_step(state, points, cls, target, 0.001, 0.1, key)
+    assert np.isfinite(float(np.asarray(m["loss"])))
+    t0 = time.time()
+    for _ in range(REPS):
+        st, m = sup_step(st, points, cls, target, 0.001, 0.1, key)
+    _ = float(np.asarray(m["loss"]))
+    sup_dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
+    return BATCH / dt, BATCH / ss_dt, BATCH / sup_dt, compile_s
 
 
 def load_baseline() -> float | None:
@@ -103,7 +117,8 @@ def load_baseline() -> float | None:
 
 
 def main():
-    clouds_per_sec, train_clouds_per_sec, compile_s = measure_tpu()
+    (clouds_per_sec, train_clouds_per_sec, sup_clouds_per_sec,
+     compile_s) = measure_tpu()
     baseline = load_baseline()
     vs = clouds_per_sec / baseline if baseline else 0.0
     print(json.dumps({
@@ -117,6 +132,10 @@ def main():
             round(train_clouds_per_sec, 3),
         "selfsup_train_step_ms":
             round(1000.0 * BATCH / train_clouds_per_sec, 2),
+        "supervised_train_step_clouds_per_sec":
+            round(sup_clouds_per_sec, 3),
+        "supervised_train_step_ms":
+            round(1000.0 * BATCH / sup_clouds_per_sec, 2),
     }))
 
 
