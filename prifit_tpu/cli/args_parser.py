@@ -130,14 +130,16 @@ def parse_args(argv=None):
              "e.g. 'sa1:bf16,fp2:q' (bf16 = stage MLP in bf16; q = f32 "
              "compute with output quantized to bf16, exact gradients)")
     add("--encoder_dtype", type=str, default="auto",
-        choices=["auto", "f32", "bf16", "sa_bf16", "mx"],
+        choices=["auto", "f32", "bf16", "sa_bf16", "mx", "mxsr"],
         help="encoder MLP compute dtype. auto == f32 (bf16 destabilizes "
              "few-shot training via COTANGENT rounding, STATUS.md "
              "round-3 bisection); bf16 / sa_bf16 opt in to 1.4-1.8x "
              "faster steps for throughput-bound workloads; mx = bf16 "
              "activations with exact f32 cotangents (nn/mixed.py — the "
              "bisection-validated fast mode; heads, BN stats and the "
-             "convex-loss geometry always f32)")
+             "convex-loss geometry always f32); mxsr = mx with "
+             "stochastically-rounded bf16 cotangents (unbiased casts, "
+             "half the backward HBM bytes of mx)")
     args = parser.parse_args(argv)
     if args.split is not None:
         args.train_split = args.split

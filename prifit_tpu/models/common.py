@@ -122,11 +122,14 @@ def encoder_dtypes(compute_dtype: str):
     if compute_dtype == "mx":
         from prifit_tpu.nn.mixed import MX
         return MX, MX
+    if compute_dtype == "mxsr":
+        from prifit_tpu.nn.mixed import MXSR
+        return MXSR, MXSR
     return None, None
 
 
 ENCODER_STAGES = ("sa1", "sa2", "sa3", "fp3", "fp2", "fp1")
-STAGE_MODES = ("f32", "bf16", "bfloat16", "q", "fq", "mx")
+STAGE_MODES = ("f32", "bf16", "bfloat16", "q", "fq", "mx", "mxsr")
 
 
 def stage_cfg(stage_dtypes: str, stage: str, default_dtype):
@@ -160,6 +163,9 @@ def stage_cfg(stage_dtypes: str, stage: str, default_dtype):
     if mode == "mx":
         from prifit_tpu.nn.mixed import MX
         return MX, False
+    if mode == "mxsr":
+        from prifit_tpu.nn.mixed import MXSR
+        return MXSR, False
     return None, False
 
 

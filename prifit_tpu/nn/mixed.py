@@ -33,13 +33,43 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MX = "mx"
 """Sentinel compute dtype: bf16-storage forward, f32-cotangent backward
 via the scale-level custom-VJP region (this module)."""
 
+MXSR = "mxsr"
+"""Sentinel compute dtype: the mx region with STOCHASTICALLY-ROUNDED
+bf16 cotangents.  The bisection (STATUS.md round 3) proved the bf16
+few-shot instability is deterministic round-to-nearest BIAS in the
+backward — each stage's cotangent rounding is correlated with the
+values, and the bias compounds across depth.  Stochastic rounding makes
+each cast unbiased (``E[sr(x)] = x``), so this mode tests whether
+UNBIASED bf16 cotangents train like f32 while paying bf16 traffic:
+inter-layer cotangents and the backward matmul outputs are stored bf16
+(half the backward HBM bytes of ``mx``), param/BN grads accumulate f32.
+Randomness comes from a per-region fold of the step's ``sampling`` rng,
+so runs stay reproducible."""
+
 MXDT = jnp.bfloat16
 _EPS = 1e-5
+
+
+def sr_bf16(key, x):
+    """Stochastically round f32 -> bf16, unbiased (``E[sr(x)] = x``).
+
+    Adds uniform random low-16 bits to the f32 bit pattern and
+    truncates: the carry into the bf16 mantissa fires with probability
+    equal to the truncated fraction (exact SR in sign-magnitude space;
+    works for either sign since float magnitude bits are monotone).
+    Finite-input precondition: |x| must be < ~3.4e38 - 1ulp (gradient
+    values by construction); inf/NaN inputs propagate as garbage bits.
+    """
+    bits = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    y = (xi + bits) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(y, jnp.float32).astype(MXDT)
 
 
 # ---------------------------------------------------------------- layers
@@ -66,20 +96,37 @@ def _layer_fwd(xf, w, b, scale, bias):
     return y, (mean, var), (xf, w, res_bn)
 
 
-def _layer_bwd(res, g):
-    """Exact transpose of ``_layer_fwd`` with f32 cotangents.
+def _layer_bwd(res, g, sr_key=None, sr_out=True):
+    """Exact transpose of ``_layer_fwd``.
 
-    ``g``: [n, Fo] f32.  Returns (dx [n, Fi] f32, (dw, db, dscale,
-    dbias)).  ``db`` is exactly zero — BN's mean subtraction absorbs the
-    dense bias analytically (its only effect is the running mean, which
-    feeds stop_gradient'd updates)."""
+    ``g``: [n, Fo] f32 (mx) or bf16 (mxsr).  Returns (dx [n, Fi],
+    (dw, db, dscale, dbias)).  ``db`` is exactly zero — BN's mean
+    subtraction absorbs the dense bias analytically (its only effect is
+    the running mean, which feeds stop_gradient'd updates).
+
+    With ``sr_key`` (mxsr) the inter-op cotangents ``dz`` and ``dx`` are
+    stochastically rounded to bf16 — the backward matmuls read/write
+    bf16 (half the HBM bytes) while every reduction still accumulates
+    f32.  ``sr_out=False`` keeps ``dx`` f32 (the region-exit cotangent).
+    """
     xf, w, res_bn = res
     dz, (dscale, dbias) = _prebn_bwd(res_bn, g)            # [n, Fo] f32
-    x32 = xf.astype(jnp.float32)
-    w32 = w.astype(jnp.float32)
-    dx = jax.lax.dot_general(dz, w32, (((1,), (1,)), ((), ())),
+    if sr_key is not None:
+        dz = sr_bf16(jax.random.fold_in(sr_key, 0), dz)
+        # bf16-VALUED operands in dz's container dtype: a no-op for the
+        # real sr_bf16 (dz bf16), and with the test-side identity patch
+        # (dz f32) this computes the exact rounding-free EXPECTATION of
+        # the SR backward — the backward is linear in cotangents, so
+        # E[grads] is the same graph with every sr cast removed
+        x_in = xf.astype(dz.dtype)
+        w_in = w.astype(MXDT).astype(dz.dtype)
+    else:
+        x_in, w_in = xf.astype(jnp.float32), w.astype(jnp.float32)
+    dx = jax.lax.dot_general(dz, w_in, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dw = jax.lax.dot_general(x32, dz, (((0,), (0,)), ((), ())),
+    if sr_key is not None and sr_out:
+        dx = sr_bf16(jax.random.fold_in(sr_key, 1), dx)
+    dw = jax.lax.dot_general(x_in, dz, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     return dx, (dw, jnp.zeros(w.shape[1], jnp.float32), dscale, dbias)
 
@@ -104,10 +151,14 @@ def _prebn_fwd(xf, scale, bias):
 
 
 def _prebn_bwd(res, g):
-    """Standard BN backward, f32 cotangents, bf16 residuals."""
+    """Standard BN backward, f32 cotangent out, bf16 residuals.
+
+    ``g`` may arrive bf16 (mxsr): every reduction and the returned ``dx``
+    are f32 regardless (the casts live inside the fusion — registers,
+    not HBM)."""
     xf, a, c, scale, mean, inv, n = res
     y = xf * a + c                       # recompute relu sign, bf16
-    gb = jnp.where(y > 0, g, 0.0)
+    gb = jnp.where(y > 0, g, 0).astype(jnp.float32)
     xhat = (xf.astype(jnp.float32) - mean) * inv
     dbias = jnp.sum(gb, axis=0)
     dscale = jnp.sum(gb * xhat, axis=0)
@@ -120,7 +171,7 @@ def _prebn_bwd(res, g):
 # ---------------------------------------------------------------- region
 
 def _mx_impl(cfg, pre, params):
-    has_pre_bn, has_max = cfg
+    has_pre_bn, has_max = cfg[0], cfg[1]
     pre_bn, chain = params
     shape = pre.shape
     xf = pre.astype(MXDT).reshape(-1, shape[-1])
@@ -147,26 +198,40 @@ def _mx_impl(cfg, pre, params):
     return out, tuple(stats), (residuals, max_res, shape)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def mx_chain(cfg, pre, params):
-    """bf16-forward / f32-cotangent chain region.
+def mx_chain(cfg, pre, params, key=None):
+    """bf16-forward chain region (f32 or SR-bf16 cotangents).
 
-    ``cfg = (has_pre_bn, has_max)`` static; ``pre`` the f32 stage input
-    ([B, S, K, F] grouped pre-activation for SA scales, [B, N, F]
+    ``cfg = (has_pre_bn, has_max[, sr])`` static; ``pre`` the f32 stage
+    input ([B, S, K, F] grouped pre-activation for SA scales, [B, N, F]
     features for FP); ``params = (pre_bn | None, ((w, b, scale, bias),
-    ...))``.  Returns (out f32, per-BN (mean, var) stats)."""
+    ...))``; ``key`` the SR rng (required when ``sr``).  Returns
+    (out f32, per-BN (mean, var) stats)."""
+    if len(cfg) == 2:
+        cfg = (*cfg, False)
+    if key is None:
+        if cfg[2]:
+            raise ValueError("mx_chain: sr mode needs an rng key")
+        key = jnp.zeros((2,), jnp.uint32)
+    # static 4th element: bf16 pre -> bf16 region-exit cotangent
+    # (stochastically rounded in sr mode, deterministically otherwise)
+    cfg = (*cfg, pre.dtype == MXDT)
+    return _mx_chain(cfg, pre, params, key)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mx_chain(cfg, pre, params, key):
     out, stats, _ = _mx_impl(cfg, pre, params)
     return out, stats
 
 
-def _mx_fwd(cfg, pre, params):
+def _mx_fwd(cfg, pre, params, key):
     out, stats, res = _mx_impl(cfg, pre, params)
-    return (out, stats), (res, params)
+    return (out, stats), (res, params, key)
 
 
 def _mx_bwd(cfg, saved, cots):
-    has_pre_bn, has_max = cfg
-    (residuals, max_res, shape), params = saved
+    has_pre_bn, has_max, sr, exit_bf16 = cfg
+    (residuals, max_res, shape), params, key = saved
     pre_bn, chain = params
     g_out, _ = cots          # stats feed stop_gradient'd updates only
     if has_max:
@@ -185,18 +250,34 @@ def _mx_bwd(cfg, saved, cots):
         g = gh.reshape(-1, h.shape[-1])
     else:
         g = g_out.reshape(-1, g_out.shape[-1]).astype(jnp.float32)
+    if sr:
+        # the expanded [n, F] cotangent entering the chain
+        g = sr_bf16(jax.random.fold_in(key, 255), g)
 
+    # exit_bf16 (bf16 pre, mxsr boundary mode): the region-exit
+    # cotangent is SR'd to bf16 too — the [B, S, K, F] dpre is the
+    # largest single tensor in the stage backward, and the exact-gather
+    # backward upstream accumulates it at HIGHEST either way
     d_chain = []
-    for res in reversed(residuals[1 if has_pre_bn else 0:]):
-        g, grads = _layer_bwd(res, g)
+    layers = residuals[1 if has_pre_bn else 0:]
+    n_layers = len(layers)
+    for j, res in enumerate(reversed(layers)):
+        at_exit = (j == n_layers - 1) and not has_pre_bn
+        g, grads = _layer_bwd(
+            res, g,
+            sr_key=jax.random.fold_in(key, j) if sr else None,
+            sr_out=(not at_exit) or exit_bf16)
         d_chain.append(grads)
     d_chain.reverse()
     if has_pre_bn:
         g, d_pre_bn = _prebn_bwd(residuals[0], g)
+        if sr and exit_bf16:
+            g = sr_bf16(jax.random.fold_in(key, 254), g)
     else:
         d_pre_bn = None
-    dpre = g.reshape(shape)
-    return dpre, (d_pre_bn, tuple(d_chain))
+    dpre = g.astype(MXDT if exit_bf16 else jnp.float32).reshape(shape)
+    return (dpre, (d_pre_bn, tuple(d_chain)),
+            np.zeros(np.shape(key), jax.dtypes.float0))
 
 
-mx_chain.defvjp(_mx_fwd, _mx_bwd)
+_mx_chain.defvjp(_mx_fwd, _mx_bwd)

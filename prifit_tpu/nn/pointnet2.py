@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prifit_tpu.nn.mixed import MX, mx_chain
+from prifit_tpu.nn.mixed import MX, MXSR, mx_chain
 from prifit_tpu.ops.pallas.fused_sa import (
     fold_bn,
     fused_sa_scale,
@@ -88,9 +88,21 @@ def _cast(x, dtype):
 
 
 def _eff(dtype):
-    """Effective array dtype for non-region code paths: ``MX`` behaves as
-    bf16 outside its custom-VJP training region (eval mode, fallbacks)."""
-    return jnp.bfloat16 if dtype == MX else dtype
+    """Effective array dtype for non-region code paths: ``MX``/``MXSR``
+    behave as bf16 outside their custom-VJP training region (eval mode,
+    fallbacks)."""
+    return jnp.bfloat16 if dtype in (MX, MXSR) else dtype
+
+
+def _mx_mode(mod, train):
+    """True when this module should run the mx custom-VJP region."""
+    return (mod.dtype in (MX, MXSR) and train and mod.axis_name is None)
+
+
+def _mx_key(mod):
+    """SR rng for the mxsr backward (None in plain mx mode): a fresh
+    fold of the step's ``sampling`` stream, unique per module path."""
+    return mod.make_rng("sampling") if mod.dtype == MXSR else None
 
 
 def _update_running(mod, entry, mean, var, momentum, n):
@@ -286,10 +298,17 @@ class PointMLP(nn.Module):
         self.ws, self.bs, self.bn = ws, bs, bn
 
     def __call__(self, x, train: bool, bn_momentum=0.1):
-        if self.dtype == MX and train and self.axis_name is None:
-            # bf16-storage / f32-cotangent region (nn/mixed.py)
-            out, stats = mx_chain((False, False), x.astype(jnp.float32),
-                                  (None, self.mx_params()))
+        if _mx_mode(self, train):
+            # bf16-storage region (nn/mixed.py): f32 cotangents (mx) or
+            # stochastically-rounded bf16 cotangents (mxsr).  mxsr also
+            # moves the region BOUNDARY to bf16 — forward values are
+            # identical (the region casts to bf16 first regardless) and
+            # the stage input + its SR'd cotangent halve their HBM bytes
+            out, stats = mx_chain(
+                (False, False, self.dtype == MXSR),
+                x.astype(jnp.bfloat16 if self.dtype == MXSR
+                         else jnp.float32),
+                (None, self.mx_params()), key=_mx_key(self))
             self.mx_update_stats(stats, bn_momentum,
                                  x.size // x.shape[-1])
             return out
@@ -494,10 +513,16 @@ def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
     the jnp path."""
     B, N, _ = xyz.shape
     S, K = idx.shape[1], idx.shape[2]
-    if module.dtype == MX and train and module.axis_name is None:
+    if _mx_mode(module, train):
         pre = gfl.pre_tensor(xyz, points, new_xyz, idx)
+        if module.dtype == MXSR:
+            # bf16 boundary: same forward values (the region casts to
+            # bf16 anyway); the [B, S, K, F] pre and its SR'd exit
+            # cotangent are the two largest stage tensors
+            pre = pre.astype(jnp.bfloat16)
         params = (gfl.mx_bn_params(), pmlp.mx_params())
-        out, stats = mx_chain((True, True), pre, params)
+        out, stats = mx_chain((True, True, module.dtype == MXSR), pre,
+                              params, key=_mx_key(module))
         n = B * S * K
         gfl.mx_update_stats(*stats[0], bn_momentum, n)
         pmlp.mx_update_stats(stats[1:], bn_momentum, n)
@@ -538,10 +563,12 @@ class SetAbstraction(nn.Module):
             new_xyz, grouped = sample_and_group_all(xyz, points)
             pmlp = PointMLP(self.mlp, 3 + d_in, self.axis_name,
                             self.dtype)
-            if self.dtype == MX and train and self.axis_name is None:
+            if _mx_mode(self, train):
                 out, stats = mx_chain(
-                    (False, True), grouped.astype(jnp.float32),
-                    (None, pmlp.mx_params()))
+                    (False, True, self.dtype == MXSR),
+                    grouped.astype(jnp.bfloat16 if self.dtype == MXSR
+                                   else jnp.float32),
+                    (None, pmlp.mx_params()), key=_mx_key(self))
                 pmlp.mx_update_stats(
                     stats, bn_momentum,
                     grouped.size // grouped.shape[-1])

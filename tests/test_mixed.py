@@ -215,3 +215,186 @@ class TestMxModules:
         # eval mode runs through the bf16 fallback path
         o = model.apply(v, pts, cls, train=False)
         assert bool(jnp.isfinite(o.seg_logits).all())
+
+
+class TestStochasticRounding:
+    """mxsr: the mx region with stochastically-rounded bf16 cotangents."""
+
+    def test_sr_bf16_unbiased_and_exact(self):
+        from prifit_tpu.nn.mixed import sr_bf16
+        # exactly-representable values never move
+        x = jnp.asarray([0.0, 1.0, -2.5, 3.141592e8], jnp.float32)
+        x = x.astype(jnp.bfloat16).astype(jnp.float32)
+        for s in range(4):
+            y = sr_bf16(jax.random.PRNGKey(s), x)
+            np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                          np.asarray(x, np.float32))
+        # values strictly between grid points: mean over keys -> x
+        lo = jnp.float32(1.0)
+        hi = jnp.asarray(np.nextafter(np.float32(
+            jnp.asarray(1.0, jnp.bfloat16).astype(jnp.float32)), 2.0,
+            dtype=np.float32))
+        # 1 + 1/3 ulp(bf16): should round up ~1/3 of the time
+        ulp = np.float32(jnp.asarray(1.0078125, jnp.bfloat16)) - 1.0
+        x = jnp.full((4096,), 1.0 + ulp / 3, jnp.float32)
+        ys = [np.asarray(sr_bf16(jax.random.PRNGKey(s), x), np.float32)
+              for s in range(8)]
+        frac_up = np.mean([np.mean(y > 1.0) for y in ys])
+        assert 0.28 < frac_up < 0.39, frac_up
+        mean = np.mean([y.mean() for y in ys])
+        np.testing.assert_allclose(mean, 1.0 + ulp / 3, rtol=3e-4)
+        assert sr_bf16(jax.random.PRNGKey(0), x).dtype == jnp.bfloat16
+        del lo, hi
+
+    def test_requires_key(self):
+        pre = jnp.ones((2, 8, 4), jnp.float32)
+        chain = _params(jax.random.PRNGKey(1), [4, 8])
+        with pytest.raises(ValueError, match="rng key"):
+            mx_chain((False, False, True), pre, (None, chain))
+
+    @pytest.mark.parametrize("has_pre_bn,has_max", [
+        (True, True), (False, False)])
+    def test_forward_matches_mx(self, has_pre_bn, has_max):
+        key = jax.random.PRNGKey(0)
+        B, S, K, F = 2, 8, 16, 24
+        shape = (B, S, K, F) if has_max else (B, S * K, F)
+        pre = jax.random.normal(key, shape, jnp.float32)
+        chain = _params(jax.random.PRNGKey(1), [F, 32, 48])
+        pre_bn = (jnp.ones((F,)) * 1.3, jnp.ones((F,)) * 0.1) \
+            if has_pre_bn else None
+        params = (pre_bn, chain)
+        out_mx, st_mx = mx_chain((has_pre_bn, has_max), pre, params)
+        out_sr, st_sr = mx_chain((has_pre_bn, has_max, True), pre,
+                                 params, key=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(out_mx),
+                                      np.asarray(out_sr))
+        for a, b in zip(jax.tree_util.tree_leaves(st_mx),
+                        jax.tree_util.tree_leaves(st_sr)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_grads_unbiased(self, monkeypatch):
+        """Mean over SR keys of the mxsr grads converges to the exact
+        expectation: the SAME region code with ``sr_bf16`` patched to
+        identity (the backward is linear in cotangents, so the
+        rounding-free run IS ``E[grads]``; forward, masks and matmul
+        operand values are bit-identical between oracle and draws).
+        Deterministic bf16 cotangents (the ``bf16`` mode) keep a bias
+        no amount of averaging removes — this is the property that
+        motivates mxsr (STATUS.md round-3 bisection)."""
+        from prifit_tpu.nn import mixed
+
+        key = jax.random.PRNGKey(0)
+        B, S, K, F = 2, 8, 16, 24
+        pre = jax.random.normal(key, (B, S, K, F), jnp.float32)
+        chain = _params(jax.random.PRNGKey(1), [F, 32, 48])
+        pre_bn = (jnp.ones((F,)) * 1.3, jnp.ones((F,)) * 0.1)
+        params = (pre_bn, chain)
+
+        def gradfn(p, pr, k):
+            return jax.grad(
+                lambda p_, pr_: jnp.sum(mx_chain(
+                    (True, True, True), pr_, p_, key=k)[0] ** 2),
+                argnums=(0, 1))(p, pr)
+
+        monkeypatch.setattr(mixed, "sr_bf16", lambda k, x: x)
+        g_exp = gradfn(params, pre, jax.random.PRNGKey(99))
+        monkeypatch.undo()
+        draws = [gradfn(params, pre, jax.random.PRNGKey(100 + s))
+                 for s in range(24)]
+
+        ref = [np.asarray(x, np.float64)
+               for x in jax.tree_util.tree_leaves(g_exp)]
+        mean = [np.mean([np.asarray(jax.tree_util.tree_leaves(d)[i],
+                                    np.float64) for d in draws], axis=0)
+                for i in range(len(ref))]
+        one = [np.asarray(x, np.float64)
+               for x in jax.tree_util.tree_leaves(draws[0])]
+        for r, m, o in zip(ref, mean, one):
+            nr = np.linalg.norm(r) + 1e-12
+            err_mean = np.linalg.norm(m - r) / nr
+            err_one = np.linalg.norm(o - r) / nr
+            if err_one < 1e-7:      # leaf untouched by any rounding
+                continue
+            # unbiased => the 24-draw mean tightens ~1/sqrt(24) = 0.2x;
+            # a biased cast could not beat ~1x
+            assert err_mean < 0.45 * err_one, (err_mean, err_one)
+            cos = float((m.ravel() @ r.ravel())
+                        / (np.linalg.norm(m) * nr))
+            assert cos > 0.999, cos
+
+    def test_same_key_deterministic(self):
+        pre = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 16))
+        chain = _params(jax.random.PRNGKey(4), [16, 32])
+
+        def g(k):
+            return jax.grad(lambda pr: jnp.sum(mx_chain(
+                (False, False, True), pr, (None, chain), key=k)[0] ** 2)
+            )(pre)
+
+        a, b = g(jax.random.PRNGKey(5)), g(jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = g(jax.random.PRNGKey(6))
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0
+
+    def test_model_level_mxsr_runs(self):
+        from prifit_tpu.models import get_module
+        mod = get_module("pointnet2_part_seg_msg")
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = jnp.zeros((2, 16), jnp.float32)
+        model = mod.get_model(num_parts=50, compute_dtype="mxsr")
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "sampling": jax.random.PRNGKey(1),
+                        "dropout": jax.random.PRNGKey(2)},
+                       pts, cls, train=True)
+
+        def loss(p):
+            out, _ = model.apply(
+                {**v, "params": p}, pts, cls, train=True,
+                rngs={"sampling": jax.random.PRNGKey(1),
+                      "dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            return jnp.sum(out.seg_logits ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(x.dtype == jnp.float32 for x in leaves)
+        total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+        assert np.isfinite(total) and total > 0
+        o = model.apply(v, pts, cls, train=False)
+        assert bool(jnp.isfinite(o.seg_logits).all())
+
+    def test_bf16_pre_boundary(self):
+        """mxsr with a bf16 stage input: identical forward values (the
+        region casts to bf16 regardless), bf16 SR'd exit cotangent."""
+        key = jax.random.PRNGKey(0)
+        B, S, K, F = 2, 8, 16, 24
+        pre = jax.random.normal(key, (B, S, K, F), jnp.float32)
+        chain = _params(jax.random.PRNGKey(1), [F, 32, 48])
+        pre_bn = (jnp.ones((F,)) * 1.3, jnp.ones((F,)) * 0.1)
+        params = (pre_bn, chain)
+        k = jax.random.PRNGKey(11)
+
+        out32, st32 = mx_chain((True, True, True), pre, params, key=k)
+        outbf, stbf = mx_chain((True, True, True),
+                               pre.astype(jnp.bfloat16), params, key=k)
+        np.testing.assert_array_equal(np.asarray(out32),
+                                      np.asarray(outbf))
+        for a, b in zip(jax.tree_util.tree_leaves(st32),
+                        jax.tree_util.tree_leaves(stbf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(pr):
+            out, _ = mx_chain((True, True, True), pr, params, key=k)
+            return jnp.sum(out ** 2)
+
+        g32 = jax.grad(loss)(pre)
+        gbf = jax.grad(loss)(pre.astype(jnp.bfloat16))
+        assert g32.dtype == jnp.float32
+        assert gbf.dtype == jnp.bfloat16
+        # the bf16 exit cotangent is the SR rounding of the f32 one's
+        # neighborhood: within one bf16 ulp elementwise
+        a = np.asarray(g32, np.float64)
+        b = np.asarray(gbf, np.float64)
+        tol = np.abs(a) * 2.0 ** -7 + 1e-6
+        assert np.mean(np.abs(a - b) > tol) < 0.02
