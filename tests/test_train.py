@@ -694,6 +694,28 @@ class TestBf16Encoder:
         # params and seg logits stay f32 (heads + optimizer state)
         assert state.params["conv2"]["kernel"].dtype == jnp.float32
 
+    def test_overfits_single_batch_mxsr(self):
+        """mxsr (stochastically-rounded bf16 cotangents, nn/mixed.py)
+        optimizes through the real supervised step: the SR noise is
+        unbiased, so SGD still converges on the overfit harness."""
+        mod = get_module("pointnet2_part_seg_ssg")
+        model = mod.get_model(num_classes=4, compute_dtype="mxsr")
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
+        cls = to_categorical(jnp.zeros((2, 1), jnp.int32))
+        target = jnp.asarray(
+            (np.asarray(pts[..., 0]) > 0).astype(np.int32)
+            + 2 * (np.asarray(pts[..., 1]) > 0).astype(np.int32))
+        state = create_train_state(model, (pts, cls), dict(train=True))
+        step = make_supervised_step(model, mod.get_loss)
+        for i in range(30):
+            # vary the key so each step draws fresh SR bits (as the
+            # trainer does) — the convergence must survive the noise
+            state, m = step(state, pts, cls, target, 0.01, 0.1,
+                            jax.random.PRNGKey(i))
+        assert float(m["acc"]) > 0.9
+        assert state.params["conv2"]["kernel"].dtype == jnp.float32
+
     def test_bf16_forward_close_to_f32(self):
         """bf16 vs f32 encoder on identical params: log-prob outputs agree
         to bf16 tolerance (the two paths share parameter shapes/names)."""
