@@ -31,7 +31,7 @@ REPS = int(os.environ.get("BENCH_REPS", 10))
 SYNC_OVERHEAD_S = 0.027  # axon tunnel round-trip (see .claude verify notes)
 
 
-def measure_tpu() -> float:
+def measure_tpu() -> tuple[float, float, float, float]:
     import jax
     import jax.numpy as jnp
 

@@ -26,22 +26,12 @@ class get_model(nn.Module):
     fused_ball_query: bool = True   # see pointnet2_part_seg_msg.get_model
 
     def _encoder_dtypes(self):
-        """(SA dtype, FP dtype) for the encoder MLP chains.
-
-        Default ("auto" == "f32") is full f32: on the primitive-structured
-        few-shot benchmark (STATUS.md) f32 training lands at class-avg
-        mIoU 0.89-0.90 across 5 seeds while every bf16 variant scatters
-        0.64-0.86 — bf16 encoder activations destabilize few-shot
-        training even with the grouped first layer kept exact, so the
-        1.4-1.8x step-time win is not worth the default.  "bf16" (whole
-        encoder) and "sa_bf16" (only the set-abstraction neighborhood
-        tensors) remain opt-in for throughput-bound workloads.
-        """
-        if self.compute_dtype in ("bf16", "bfloat16"):
-            return jnp.bfloat16, jnp.bfloat16
-        if self.compute_dtype == "sa_bf16":
-            return jnp.bfloat16, None
-        return None, None
+        """See :func:`prifit_tpu.models.common.encoder_dtypes` — shared
+        with the MSG flagship so every ``--encoder_dtype`` mode (bf16,
+        sa_bf16, mx, mxsr) means the same thing on both models (a local
+        copy had drifted and silently no-op'd mx/mxsr)."""
+        from prifit_tpu.models.common import encoder_dtypes
+        return encoder_dtypes(self.compute_dtype)
 
     @nn.compact
     def __call__(self, xyz, cls_label, *, train: bool = True,

@@ -230,11 +230,7 @@ class TestStochasticRounding:
             np.testing.assert_array_equal(np.asarray(y, np.float32),
                                           np.asarray(x, np.float32))
         # values strictly between grid points: mean over keys -> x
-        lo = jnp.float32(1.0)
-        hi = jnp.asarray(np.nextafter(np.float32(
-            jnp.asarray(1.0, jnp.bfloat16).astype(jnp.float32)), 2.0,
-            dtype=np.float32))
-        # 1 + 1/3 ulp(bf16): should round up ~1/3 of the time
+        # (1 + 1/3 ulp(bf16) should round up ~1/3 of the time)
         ulp = np.float32(jnp.asarray(1.0078125, jnp.bfloat16)) - 1.0
         x = jnp.full((4096,), 1.0 + ulp / 3, jnp.float32)
         ys = [np.asarray(sr_bf16(jax.random.PRNGKey(s), x), np.float32)
@@ -244,7 +240,6 @@ class TestStochasticRounding:
         mean = np.mean([y.mean() for y in ys])
         np.testing.assert_allclose(mean, 1.0 + ulp / 3, rtol=3e-4)
         assert sr_bf16(jax.random.PRNGKey(0), x).dtype == jnp.bfloat16
-        del lo, hi
 
     def test_requires_key(self):
         pre = jnp.ones((2, 8, 4), jnp.float32)
