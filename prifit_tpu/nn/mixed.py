@@ -29,6 +29,7 @@ and ``:264-314`` (FP) with identical parameters; numerics match the
 ``fq`` oracle (tests/test_mixed.py).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -56,6 +57,31 @@ MXDT = jnp.bfloat16
 _EPS = 1e-5
 
 
+def _hash_bits16(key, shape):
+    """Uniform 16-bit noise as a FUSABLE elementwise epilogue.
+
+    ``jax.random.bits`` (threefry) measured +23 ms on the mxsr sup step
+    (93.8 vs mx's 70.4): XLA materializes the big bits tensors and the
+    20-round hash doesn't ride the matmul epilogue.  This generator is
+    a Weyl-sequence + splitmix32 finalizer over an in-fusion iota —
+    ~8 elementwise int ops, no HBM bytes, uniform and well-avalanched
+    (not crypto-grade; SR only needs marginal uniformity, validated by
+    tests/test_mixed.py::test_sr_bf16_unbiased_and_exact which runs
+    both sources)."""
+    n = 1
+    for d in shape:
+        n *= d
+    data = jax.random.key_data(key) \
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
+    seed = data.ravel().astype(jnp.uint32)
+    x = jax.lax.iota(jnp.uint32, n) * jnp.uint32(0x9E3779B9)
+    x = x + seed[0] * jnp.uint32(0x85EBCA6B) + seed[-1]
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return (x >> 16).reshape(shape)
+
+
 def sr_bf16(key, x):
     """Stochastically round f32 -> bf16, unbiased (``E[sr(x)] = x``).
 
@@ -65,8 +91,16 @@ def sr_bf16(key, x):
     works for either sign since float magnitude bits are monotone).
     Finite-input precondition: |x| must be < ~3.4e38 - 1ulp (gradient
     values by construction); inf/NaN inputs propagate as garbage bits.
+
+    Bit source: ``PRIFIT_SR_BITS=hash`` (default; fusable counter-hash,
+    ~zero cost) or ``threefry`` (jax.random.bits; measured +23 ms/step
+    at B=24 — kept for A/B).
     """
-    bits = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    if os.environ.get("PRIFIT_SR_BITS", "hash") == "threefry":
+        bits = jax.random.bits(key, x.shape,
+                               jnp.uint16).astype(jnp.uint32)
+    else:
+        bits = _hash_bits16(key, x.shape)
     xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
     y = (xi + bits) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(y, jnp.float32).astype(MXDT)

@@ -220,7 +220,9 @@ class TestMxModules:
 class TestStochasticRounding:
     """mxsr: the mx region with stochastically-rounded bf16 cotangents."""
 
-    def test_sr_bf16_unbiased_and_exact(self):
+    @pytest.mark.parametrize("bits", ["hash", "threefry"])
+    def test_sr_bf16_unbiased_and_exact(self, bits, monkeypatch):
+        monkeypatch.setenv("PRIFIT_SR_BITS", bits)
         from prifit_tpu.nn.mixed import sr_bf16
         # exactly-representable values never move
         x = jnp.asarray([0.0, 1.0, -2.5, 3.141592e8], jnp.float32)

@@ -65,6 +65,10 @@ def main():
                          "rounding, q = output-value rounding only, fq = "
                          "bf16-equivalent fwd with exact f32 grads)")
     ap.add_argument("--timeout", type=int, default=1500)
+    ap.add_argument("--tag", default="",
+                    help="suffix for variant names: fresh run dirs + "
+                         "cache keys (e.g. re-validating mxsr under a "
+                         "different PRIFIT_SR_BITS source)")
     args = ap.parse_args()
     out_path = args.out or osp.join(args.data, "bisect.jsonl")
 
@@ -93,6 +97,11 @@ def main():
             if mode:
                 variants.append((f"{name}_{mode}", spec(group, mode),
                                  "auto"))
+    if args.tag:
+        # baselines (f32 / full_bf16) keep their cached identity — the
+        # tag marks the variants whose behavior changed (e.g. sr bits)
+        variants = variants[:2] + [(f"{n}{args.tag}", sdt, enc)
+                                   for n, sdt, enc in variants[2:]]
 
     seeds = [int(s) for s in args.seeds.split(",")]
     env = dict(os.environ)
