@@ -36,7 +36,13 @@ def stages(dtype):
         SetAbstraction,
         SetAbstractionMsg,
     )
-    dt = jnp.bfloat16 if dtype == "bf16" else None
+    if dtype == "bf16":
+        dt = jnp.bfloat16
+    elif dtype in ("mx", "mxsr"):
+        from prifit_tpu.nn.mixed import MX, MXSR
+        dt = MX if dtype == "mx" else MXSR
+    else:
+        dt = None
     return {
         "sa1": (SetAbstractionMsg(
             512, [0.1, 0.2, 0.4], [32, 64, 128],
@@ -71,7 +77,8 @@ def timed(label, jitted, *args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--dtype", default="f32",
+                    choices=["f32", "bf16", "mx", "mxsr"])
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the axon plugin overrides "
                          "JAX_PLATFORMS=cpu; smoke tests)")
