@@ -68,18 +68,27 @@ def _hash_bits16(key, shape):
     (not crypto-grade; SR only needs marginal uniformity, validated by
     tests/test_mixed.py::test_sr_bf16_unbiased_and_exact which runs
     both sources)."""
-    n = 1
-    for d in shape:
-        n *= d
     data = jax.random.key_data(key) \
         if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
     seed = data.ravel().astype(jnp.uint32)
-    x = jax.lax.iota(jnp.uint32, n) * jnp.uint32(0x9E3779B9)
+    # linear index from per-dim broadcasted iotas: every op is a
+    # fusable elementwise generator IN the target shape — a 1-D
+    # iota + reshape re-tiles the layout for narrow minor dims
+    # (F=32 lanes), which materialized the bits and cost ~20 ms at
+    # sa1 scale-1 (tools/bench_region_vs_chain.py)
+    x = None
+    stride = 1
+    for d in range(len(shape) - 1, -1, -1):
+        it = jax.lax.broadcasted_iota(jnp.uint32, shape, d)
+        c = it * jnp.uint32(stride)
+        x = c if x is None else x + c
+        stride *= shape[d]
+    x = x * jnp.uint32(0x9E3779B9)
     x = x + seed[0] * jnp.uint32(0x85EBCA6B) + seed[-1]
     x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
     x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
     x = x ^ (x >> 16)
-    return (x >> 16).reshape(shape)
+    return x >> 16
 
 
 def sr_bf16(key, x):
@@ -218,16 +227,25 @@ def _mx_impl(cfg, pre, params):
         xf, st, res = _layer_fwd(xf, *layer)
         stats.append(st)
         residuals.append(res)
+    # sr (mxsr) regions return bf16 stage outputs so the inter-stage
+    # fabric (downstream gathers, projections, skip concats) runs bf16
+    # like the plain bf16 mode: f32 outputs made every downstream
+    # HIGHEST gather a multi-pass f32 einsum and doubled inter-stage
+    # traffic (measured: the whole 20 ms mxsr-vs-bf16 step gap).  The
+    # seam cotangent rounding this implies was isolated as benign by
+    # the bisection's single-stage bf16 variants (STATUS.md).  mx keeps
+    # f32 outputs (its contract is f32 cotangents everywhere).
+    out_dtype = MXDT if cfg[2] else jnp.float32
     if has_max:
         B, S, K = shape[0], shape[1], shape[2]
         h = xf.reshape(B * S, K, xf.shape[-1])
         out_bf = jnp.max(h, axis=1)
-        out = out_bf.astype(jnp.float32).reshape(B, S, -1)
+        out = out_bf.astype(out_dtype).reshape(B, S, -1)
         # h is the last layer's y — recomputed in the backward from that
         # layer's stored pre-activation, so only the K-reduced max is saved
         max_res = out_bf
     else:
-        out = xf.astype(jnp.float32).reshape(*shape[:-1], xf.shape[-1])
+        out = xf.astype(out_dtype).reshape(*shape[:-1], xf.shape[-1])
         max_res = None
     return out, tuple(stats), (residuals, max_res, shape)
 
@@ -277,16 +295,22 @@ def _mx_bwd(cfg, saved, cots):
         h_flat = jax.nn.relu(zl * al + cl)                 # [n, F] bf16
         rows, F = out_bf.shape
         h = h_flat.reshape(rows, h_flat.shape[0] // rows, F)
-        g = g_out.reshape(out_bf.shape).astype(jnp.float32)
         mask = (h == out_bf[:, None, :])
-        cnt = jnp.sum(mask, axis=1, keepdims=True)
-        gh = jnp.where(mask, g[:, None, :] / cnt, 0.0)
-        g = gh.reshape(-1, h.shape[-1])
+        cnt = jnp.sum(mask, axis=1)                        # [rows, F]
+        # divide (and SR) at the SMALL [rows, F] shape, expand in the
+        # cotangent dtype: the earlier expand-then-divide form
+        # materialized a [rows, K, F] f32 broadcast (1.3 GB at sa1
+        # scale-3 — visible as broadcast.389 in the optimized HLO)
+        gsm = g_out.reshape(rows, F).astype(jnp.float32) / cnt
+        if sr:
+            gsm = sr_bf16(jax.random.fold_in(key, 255), gsm)
+        gh = jnp.where(mask, gsm[:, None, :],
+                       jnp.zeros((), gsm.dtype))
+        g = gh.reshape(-1, F)
     else:
         g = g_out.reshape(-1, g_out.shape[-1]).astype(jnp.float32)
-    if sr:
-        # the expanded [n, F] cotangent entering the chain
-        g = sr_bf16(jax.random.fold_in(key, 255), g)
+        if sr:
+            g = sr_bf16(jax.random.fold_in(key, 255), g)
 
     # exit_bf16 (bf16 pre, mxsr boundary mode): the region-exit
     # cotangent is SR'd to bf16 too — the [B, S, K, F] dpre is the
