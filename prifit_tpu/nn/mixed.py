@@ -241,9 +241,16 @@ def _mx_impl(cfg, pre, params):
         h = xf.reshape(B * S, K, xf.shape[-1])
         out_bf = jnp.max(h, axis=1)
         out = out_bf.astype(out_dtype).reshape(B, S, -1)
-        # h is the last layer's y — recomputed in the backward from that
-        # layer's stored pre-activation, so only the K-reduced max is saved
-        max_res = out_bf
+        # h is the last layer's y — by default recomputed in the
+        # backward from that layer's stored pre-activation, so only the
+        # K-reduced max is saved.  PRIFIT_MXSR_SAVE_H=1 saves y itself
+        # (one more [n, F] bf16 residual write) so the backward's
+        # max-mask fusion doesn't carry the recompute — an A/B for the
+        # XLA fusion-planner behavior seen in the sa1 HLO diff.
+        if os.environ.get("PRIFIT_MXSR_SAVE_H", "0") == "1":
+            max_res = (out_bf, xf)
+        else:
+            max_res = (out_bf, None)
     else:
         out = xf.astype(out_dtype).reshape(*shape[:-1], xf.shape[-1])
         max_res = None
@@ -287,12 +294,16 @@ def _mx_bwd(cfg, saved, cots):
     pre_bn, chain = params
     g_out, _ = cots          # stats feed stop_gradient'd updates only
     if has_max:
-        out_bf = max_res
-        # recompute the last layer's y (= h) from its stored residuals:
-        # a _layer res is (xf, w, res_bn), a _prebn res is the bn tuple
-        last = residuals[-1][2] if chain else residuals[-1]
-        zl, al, cl = last[0], last[1], last[2]
-        h_flat = jax.nn.relu(zl * al + cl)                 # [n, F] bf16
+        out_bf, h_saved = max_res
+        if h_saved is not None:
+            h_flat = h_saved
+        else:
+            # recompute the last layer's y (= h) from its stored
+            # residuals: a _layer res is (xf, w, res_bn), a _prebn res
+            # is the bn tuple
+            last = residuals[-1][2] if chain else residuals[-1]
+            zl, al, cl = last[0], last[1], last[2]
+            h_flat = jax.nn.relu(zl * al + cl)             # [n, F] bf16
         rows, F = out_bf.shape
         h = h_flat.reshape(rows, h_flat.shape[0] // rows, F)
         mask = (h == out_bf[:, None, :])
