@@ -99,6 +99,20 @@ def _mx_mode(mod, train):
     return (mod.dtype in (MX, MXSR) and train and mod.axis_name is None)
 
 
+def _run_dtype(mod, train):
+    """Array dtype for the explicit (non-region) path.
+
+    MX/MXSR behave as bf16 in EVAL (forward-value rounding is benign —
+    measured eval parity, STATUS.md round 3), but fall back to f32 when
+    TRAINING without the region (``axis_name`` set — the region has no
+    cross-replica BN yet): the explicit bf16 chain would silently
+    reintroduce the biased cotangent rounding these modes exist to
+    avoid."""
+    if mod.dtype in (MX, MXSR) and train and mod.axis_name is not None:
+        return None
+    return _eff(mod.dtype)
+
+
 def _mx_key(mod):
     """SR rng for the mxsr backward (None in plain mx mode): a fresh
     fold of the step's ``sampling`` stream, unique per module path."""
@@ -318,7 +332,7 @@ class PointMLP(nn.Module):
         # sup step 59 -> 121 ms): the input-covariance stats matmul and
         # its transpose dwarf the dense at wide-input layers.
         folded = os.environ.get("PRIFIT_FOLDED_BN", "0") == "1"
-        dt = _eff(self.dtype)
+        dt = _run_dtype(self, train)
         # PRIFIT_REMAT_MLP=1: remat the chain so the backward recomputes
         # the [rows, F] intermediates.  Measured SLOWER on the sup step
         # (74.5 vs 59.3 ms — XLA already streams the residuals well), so
@@ -480,7 +494,7 @@ class GroupedFirstLayer(nn.Module):
         The OUTPUT (a small relative quantity, safe in bf16 — see
         ``pre_tensor``) is cast to ``dtype`` for the downstream chain."""
         grouped = self.pre_tensor(xyz, points, new_xyz, idx)
-        grouped = _cast(grouped, _eff(self.dtype))
+        grouped = _cast(grouped, _run_dtype(self, train))
         grouped = _bn_forward(self, self.bn, grouped, train, bn_momentum)
         if self.dtype == FQ:
             grouped = _stq(grouped)
@@ -578,7 +592,7 @@ class SetAbstraction(nn.Module):
 
         # f32 mode keeps gather BACKWARDS exact too (no bf16 cotangent
         # rounding; ops/sampling.py::index_points precision note)
-        prec = None if _eff(self.dtype) == jnp.bfloat16 \
+        prec = None if _run_dtype(self, train) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
         if train:
             key = self.make_rng("sampling")
@@ -630,7 +644,7 @@ class SetAbstractionMsg(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
-        prec = None if _eff(self.dtype) == jnp.bfloat16 \
+        prec = None if _run_dtype(self, train) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
         d_in = 0 if points is None else points.shape[-1]
         if train:
@@ -689,7 +703,7 @@ class FeaturePropagation(nn.Module):
         points1 [B, N, D1] skip or None, points2 [B, S, D2]."""
         # exact feature gather in f32 mode; bf16 rounding is fine (and
         # cheaper) when the whole chain is bf16 anyway
-        prec = None if _eff(self.dtype) == jnp.bfloat16 \
+        prec = None if _run_dtype(self, train) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
         interpolated = three_nn_interpolate(xyz1, xyz2, points2,
                                             precision=prec)

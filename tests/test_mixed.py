@@ -400,3 +400,22 @@ class TestStochasticRounding:
         b = np.asarray(gbf, np.float64)
         tol = np.abs(a) * 2.0 ** -7 + 1e-6
         assert np.mean(np.abs(a - b) > tol) < 0.02
+
+    def test_axis_name_train_fallback_is_f32(self):
+        """MX/MXSR with a cross-replica axis cannot run the region;
+        the explicit-chain fallback must be f32 in TRAINING (the bf16
+        chain would reintroduce the biased cotangents these modes
+        exist to avoid) while eval keeps the cheap bf16 path."""
+        from types import SimpleNamespace
+        from prifit_tpu.nn.mixed import MXSR
+        from prifit_tpu.nn.pointnet2 import _run_dtype
+
+        m = SimpleNamespace(dtype=MXSR, axis_name="data")
+        assert _run_dtype(m, True) is None
+        assert _run_dtype(m, False) == jnp.bfloat16
+        m2 = SimpleNamespace(dtype=MX, axis_name="data")
+        assert _run_dtype(m2, True) is None
+        m3 = SimpleNamespace(dtype=jnp.bfloat16, axis_name="data")
+        assert _run_dtype(m3, True) == jnp.bfloat16
+        m4 = SimpleNamespace(dtype=MXSR, axis_name=None)
+        assert _run_dtype(m4, False) == jnp.bfloat16
