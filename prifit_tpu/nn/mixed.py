@@ -288,12 +288,51 @@ def _mx_fwd(cfg, pre, params, key):
     return (out, stats), (res, params, key)
 
 
+def _mxsr_kernel_mode():
+    """Fused Pallas layer-backward gate (``ops/pallas/mixed_bwd.py``).
+
+    ``PRIFIT_MXSR_KERNEL=off`` restores the jnp hand backward; ``auto``
+    (default) uses the fused kernels on TPU for layers whose shapes
+    pass the per-layer VMEM gates; ``interpret`` forces them in Pallas
+    interpreter mode on any backend (tests)."""
+    m = os.environ.get("PRIFIT_MXSR_KERNEL", "auto")
+    if m == "interpret":
+        return "interpret"
+    if m != "off" and jax.default_backend() == "tpu":
+        return "on"
+    return "off"
+
+
 def _mx_bwd(cfg, saved, cots):
     has_pre_bn, has_max, sr, exit_bf16 = cfg
     (residuals, max_res, shape), params, key = saved
     pre_bn, chain = params
     g_out, _ = cots          # stats feed stop_gradient'd updates only
-    if has_max:
+    layers = residuals[1 if has_pre_bn else 0:]
+    n_layers = len(layers)
+    kmode = _mxsr_kernel_mode() if sr else "off"
+    use_kernel = kmode != "off"
+    interp = kmode == "interpret"
+    d_chain = []
+    start_j = 0
+    if has_max and use_kernel and n_layers:
+        from prifit_tpu.ops.pallas.mixed_bwd import (
+            layer_bwd_max_pallas,
+            supports_layer_bwd_max,
+        )
+        out_bf, _ = max_res
+        rows, F = out_bf.shape
+        last = layers[-1]
+        n_flat, Fi = last[0].shape
+        if supports_layer_bwd_max(rows, n_flat // rows, Fi, F):
+            at_exit = (n_layers == 1) and not has_pre_bn
+            g, grads = layer_bwd_max_pallas(
+                last, g_out.reshape(rows, F), out_bf, key,
+                jax.random.fold_in(key, 0),
+                sr_out=(not at_exit) or exit_bf16, interpret=interp)
+            d_chain.append(grads)
+            start_j = 1
+    if start_j == 0 and has_max:
         out_bf, h_saved = max_res
         if h_saved is not None:
             h_flat = h_saved
@@ -318,7 +357,7 @@ def _mx_bwd(cfg, saved, cots):
         gh = jnp.where(mask, gsm[:, None, :],
                        jnp.zeros((), gsm.dtype))
         g = gh.reshape(-1, F)
-    else:
+    elif start_j == 0:
         g = g_out.reshape(-1, g_out.shape[-1]).astype(jnp.float32)
         if sr:
             g = sr_bf16(jax.random.fold_in(key, 255), g)
@@ -327,15 +366,27 @@ def _mx_bwd(cfg, saved, cots):
     # cotangent is SR'd to bf16 too — the [B, S, K, F] dpre is the
     # largest single tensor in the stage backward, and the exact-gather
     # backward upstream accumulates it at HIGHEST either way
-    d_chain = []
-    layers = residuals[1 if has_pre_bn else 0:]
-    n_layers = len(layers)
     for j, res in enumerate(reversed(layers)):
+        if j < start_j:
+            continue
         at_exit = (j == n_layers - 1) and not has_pre_bn
+        sr_out_j = (not at_exit) or exit_bf16
+        if use_kernel and g.dtype == MXDT:
+            from prifit_tpu.ops.pallas.mixed_bwd import (
+                layer_bwd_pallas,
+                supports_layer_bwd,
+            )
+            if supports_layer_bwd(res[0].shape[0], res[0].shape[1],
+                                  res[2][0].shape[-1]):
+                g, grads = layer_bwd_pallas(
+                    res, g, jax.random.fold_in(key, j), sr_out=sr_out_j,
+                    interpret=interp)
+                d_chain.append(grads)
+                continue
         g, grads = _layer_bwd(
             res, g,
             sr_key=jax.random.fold_in(key, j) if sr else None,
-            sr_out=(not at_exit) or exit_bf16)
+            sr_out=sr_out_j)
         d_chain.append(grads)
     d_chain.reverse()
     if has_pre_bn:
