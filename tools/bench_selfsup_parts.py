@@ -62,8 +62,15 @@ def chained(body, grad=False):
 
 
 def main():
-    pieces = set(sys.argv[1:]) or {"cluster", "fit", "sample", "chamfer",
-                                   "loss"}
+    global B, N, NPP, REPS, RT_S
+    argv = list(sys.argv[1:])
+    if "--cpu" in argv:
+        # Smoke mode: tiny shapes on the host (the axon plugin overrides
+        # JAX_PLATFORMS, so force it after import like tests/conftest.py).
+        argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
+        B, N, NPP, REPS, RT_S = 2, 256, 64, 2, 0.0
+    pieces = set(argv) or {"cluster", "fit", "sample", "chamfer", "loss"}
     print(f"backend: {jax.default_backend()}  B={B} N={N} D={D} K={K} "
           f"msc={MSC} npp={NPP}")
     rng = np.random.default_rng(0)
@@ -100,6 +107,50 @@ def main():
             return jnp.sum(c.weights ** 2)
         timed("cluster fwd", chained(c_fwd), X)
         timed("cluster fwd+grad(X)", chained(c_fwd, grad=True), X)
+
+    if "clusterparts" in pieces:
+        from prifit_tpu.clustering.mean_shift import (
+            _bandwidth_candidates,
+            mean_shift_iterations,
+            membership,
+            nms_fixed_slots,
+        )
+
+        def bw_fwd(x):
+            return jnp.sum(jax.vmap(
+                lambda s: _bandwidth_candidates(s, 0.05, 2))(x) ** 2)
+        timed("  bandwidth (2 cand)", chained(bw_fwd), X)
+
+        bws = jax.vmap(
+            lambda s: _bandwidth_candidates(s, 0.05, 2))(X)[:, 0]
+
+        def ms_fwd(x):
+            m = jax.vmap(lambda s, b: mean_shift_iterations(
+                s, b, MSC, "gaussian"))(x, bws)
+            return jnp.sum(m ** 2)
+        timed("  mean-shift x10 fwd", chained(ms_fwd), X)
+        timed("  mean-shift x10 f+g", chained(ms_fwd, grad=True), X)
+
+        modes = jax.jit(lambda x: jax.vmap(
+            lambda s, b: mean_shift_iterations(s, b, MSC, "gaussian"))(
+                x, bws))(X)
+
+        def nms_fwd(m):
+            ids, valid, nd = jax.vmap(
+                lambda mm, b: nms_fixed_slots(mm, b, K))(m, bws)
+            return jnp.sum(valid.astype(jnp.float32) ** 2) \
+                + jnp.sum(nd.astype(jnp.float32)) * 1e-6
+        timed("  nms", chained(nms_fwd), modes)
+
+        def mem_fwd(m):
+            ids, valid, _ = jax.vmap(
+                lambda mm, b: nms_fixed_slots(mm, b, K))(m, bws)
+            centers = jnp.take_along_axis(
+                m, ids[..., None], axis=1) * valid[..., None]
+            w = jax.vmap(lambda c, v, s, b: membership(c, v, s, b))(
+                centers, valid, X, bws)
+            return jnp.sum(w ** 2)
+        timed("  nms+membership", chained(mem_fwd), modes)
 
     if "fit" in pieces:
         def f_fwd(p):
