@@ -74,10 +74,21 @@ def measure_tpu() -> tuple[float, float, float, float]:
     v = float(np.asarray(many(points, cls)))
     dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
 
-    # the REAL training workload: self-sup convex step (fwd+bwd+opt) —
-    # regression-tracks the fused mean-shift backward and one-hot-matmul
-    # gather gradients, which the eval-mode headline cannot see
-    from prifit_tpu.train.steps import make_selfsup_step
+    ss_dt, sup_dt = _measure_train_steps(mod, model, state, points, cls)
+    return BATCH / dt, BATCH / ss_dt, BATCH / sup_dt, compile_s
+
+
+def _measure_train_steps(mod, model, state, points, cls):
+    """Self-sup + supervised step (fwd+bwd+opt) times for one model.
+
+    These regression-track the fused mean-shift backward, the
+    one-hot/lane gather gradients, and the encoder backward, which the
+    eval-mode headline cannot see.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from prifit_tpu.train.steps import make_selfsup_step, make_supervised_step
 
     ss_step = make_selfsup_step(
         model, include_convex_loss=True, quantile=0.05, msc_iterations=10,
@@ -91,10 +102,6 @@ def measure_tpu() -> tuple[float, float, float, float]:
     _ = float(np.asarray(m["ss_loss"]))
     ss_dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
 
-    # the supervised step (fwd+bwd+opt): the few-shot finetune workload,
-    # regression-tracks the encoder backward that the headline omits
-    from prifit_tpu.train.steps import make_supervised_step
-
     sup_step = make_supervised_step(model, mod.get_loss)
     target = jnp.zeros((BATCH, NPOINT), jnp.int32)
     st, m = sup_step(state, points, cls, target, 0.001, 0.1, key)
@@ -104,7 +111,29 @@ def measure_tpu() -> tuple[float, float, float, float]:
         st, m = sup_step(st, points, cls, target, 0.001, 0.1, key)
     _ = float(np.asarray(m["loss"]))
     sup_dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
-    return BATCH / dt, BATCH / ss_dt, BATCH / sup_dt, compile_s
+    return ss_dt, sup_dt
+
+
+def measure_mxsr_steps() -> tuple[float, float]:
+    """Train-step rates under ``--encoder_dtype mxsr`` (STATUS.md round 3:
+    stochastically-rounded bf16 cotangents, f32-grade few-shot accuracy).
+
+    Reported alongside the default-dtype numbers so the recorded bench
+    tracks the fast training mode even while it stays opt-in.  Disable
+    with BENCH_MXSR=0.
+    """
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+
+    mod, model, state, _, _, _ = _flagship(
+        npoint=64, quantile=0.05, msc_iterations=10, max_num_clusters=25,
+        n_per_prim=256, batch=2, compute_dtype="mxsr")
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(rng.normal(size=(BATCH, NPOINT, 3)), jnp.float32)
+    cls = jnp.zeros((BATCH, 16), jnp.float32)
+    ss_dt, sup_dt = _measure_train_steps(mod, model, state, points, cls)
+    return BATCH / ss_dt, BATCH / sup_dt
 
 
 def load_baseline() -> float | None:
@@ -121,6 +150,15 @@ def main():
      compile_s) = measure_tpu()
     baseline = load_baseline()
     vs = clouds_per_sec / baseline if baseline else 0.0
+    extra = {}
+    if os.environ.get("BENCH_MXSR", "1") != "0":
+        mxsr_ss, mxsr_sup = measure_mxsr_steps()
+        extra = {
+            "selfsup_train_step_ms_mxsr":
+                round(1000.0 * BATCH / mxsr_ss, 2),
+            "supervised_train_step_ms_mxsr":
+                round(1000.0 * BATCH / mxsr_sup, 2),
+        }
     print(json.dumps({
         "metric": "prifit fwd+fit clouds/sec/chip "
                   f"(B={BATCH}, N={NPOINT}, msc=10, K=25) "
@@ -136,6 +174,7 @@ def main():
             round(sup_clouds_per_sec, 3),
         "supervised_train_step_ms":
             round(1000.0 * BATCH / sup_clouds_per_sec, 2),
+        **extra,
     }))
 
 
