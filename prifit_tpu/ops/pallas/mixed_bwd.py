@@ -81,9 +81,19 @@ def _gb_xhat(z, g, a, c, mean, inv):
     """Recompute relu mask + BN xhat from the bf16 residuals.
 
     Matches ``_prebn_bwd``: ``y = z * a + c`` in bf16, ``gb`` f32.
+
+    The bf16 product is formed in f32 and rounded ONCE: XLA compiles
+    bf16 ``z * a + c`` as a single-rounded f32 FMA chain
+    (``--xla_allow_excess_precision``, measured: 100% match vs 73% for
+    round-after-multiply), while Mosaic bf16 arithmetic double-rounds —
+    recomputing with Mosaic's rounding would disagree with the saved
+    forward values.  Comparisons run in f32 (no bf16 cmpf on v5e; f32
+    is exact on bf16 values).
     """
-    y = z * a + c
-    gb = jnp.where(y > 0, g, jnp.zeros((), g.dtype)).astype(jnp.float32)
+    y = (z.astype(jnp.float32) * a.astype(jnp.float32)
+         + c.astype(jnp.float32)).astype(jnp.bfloat16)
+    gb = jnp.where(y.astype(jnp.float32) > 0, g,
+                   jnp.zeros((), g.dtype)).astype(jnp.float32)
     xhat = (z.astype(jnp.float32) - mean) * inv
     return gb, xhat
 
@@ -154,13 +164,29 @@ def _max_prologue(z, gout, outbf, a, c, key_ref, row0, Fo):
     ``gsm = sr(g / count)`` at the SMALL [rows, Fo] shape, expand in
     bf16 — except nothing here leaves VMEM.
     """
-    h = jax.nn.relu(z * a[:, None, :] + c[:, None, :])
-    mask = h == outbf[:, None, :]
-    cnt = jnp.sum(mask, axis=1)                              # [R, Fo]
+    # recompute h with XLA's single-rounded bf16 semantics (see
+    # _gb_xhat): f32 FMA, one rounding.  relu commutes with the
+    # rounding (both preserve sign and 0), so relu-then-round equals
+    # the forward's round-then-relu bit for bit.  The mask stays 0/1
+    # f32 arithmetic: bf16 cmpf is unsupported on v5e Mosaic and i1
+    # broadcasts/reductions hit Mosaic relayout bugs; mask * gsm ==
+    # where(mask, gsm, 0) exactly (1.0 * x = x, 0.0 * finite = 0)
+    h32 = jax.nn.relu(
+        z.astype(jnp.float32) * a.astype(jnp.float32)[:, None, :]
+        + c.astype(jnp.float32)[:, None, :])
+    h = h32.astype(jnp.bfloat16)
+    maskf = (h.astype(jnp.float32)
+             == outbf.astype(jnp.float32)[:, None, :]).astype(jnp.float32)
+    cnt = jnp.sum(maskf, axis=1)                             # [R, Fo]
     gsm = gout.astype(jnp.float32) / cnt
     gsm = _sr(gsm, _hash16(key_ref[0, 4], key_ref[0, 5],
                            _lin2(row0, gsm.shape, Fo)))
-    return jnp.where(mask, gsm[:, None, :], jnp.zeros((), gsm.dtype))
+    # expand gsm in f32: Mosaic can't relayout a non-unit-sublane bf16
+    # 2-D -> 3-D expand (probed: f32 is fine, [1,Fo] bf16 is fine).
+    # maskf is 0/1 and gsm's f32 image is exact, so the f32 product cast
+    # to bf16 is bit-identical to where(mask, gsm_bf16, 0)
+    return (maskf
+            * gsm.astype(jnp.float32)[:, None, :]).astype(jnp.bfloat16)
 
 
 def _stats_max_kernel(key_ref, z_ref, gout_ref, outbf_ref, a_ref, c_ref,
@@ -240,6 +266,13 @@ def _key_words(*keys):
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
+# the tile budget above counts operand/output blocks only; Mosaic's
+# scoped-vmem accounting also includes the kernel's f32 intermediates
+# (h/mask/gb/xhat casts), which overflow the default 16 MB limit at the
+# sa3 shapes — raise the scoped limit (v5e has 128 MB VMEM/core)
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=48 * 1024 * 1024)
+
 
 def _pad128(f):
     """Lane-padded width: Mosaic pads a full minor dim to 128 lanes,
@@ -298,6 +331,7 @@ def layer_bwd_pallas(res, g, sr_key, sr_out, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((1, Fo), jnp.float32),
                    jax.ShapeDtypeStruct((1, Fo), jnp.float32)),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(z, g, *vecs)
 
     sums = jnp.concatenate([dbias, dscale], axis=0)
@@ -324,6 +358,7 @@ def layer_bwd_pallas(res, g, sr_key, sr_out, interpret=False):
             (n, Fi), jnp.bfloat16 if sr_out else jnp.float32),
                    jax.ShapeDtypeStruct((Fi, Fo), jnp.float32)),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(keys, z, g, xf, w.astype(jnp.float32), vecs[0], vecs[1],
       _vec(scale, jnp.float32), vecs[2], vecs[3], sums)
 
@@ -390,6 +425,7 @@ def layer_bwd_max_pallas(res, g_out, out_bf, region_key, sr_key, sr_out,
         out_shape=(jax.ShapeDtypeStruct((1, Fo), jnp.float32),
                    jax.ShapeDtypeStruct((1, Fo), jnp.float32)),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(keys, z3, g_out, out_bf, *vecs)
 
     sums = jnp.concatenate([dbias, dscale], axis=0)
@@ -416,6 +452,7 @@ def layer_bwd_max_pallas(res, g_out, out_bf, region_key, sr_key, sr_out,
             (rows, K, Fi), jnp.bfloat16 if sr_out else jnp.float32),
                    jax.ShapeDtypeStruct((Fi, Fo), jnp.float32)),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(keys, z3, g_out, out_bf, xf3, w.astype(jnp.float32), vecs[0],
       vecs[1], _vec(scale, jnp.float32), vecs[2], vecs[3], sums)
 
