@@ -118,13 +118,6 @@ def parse_args(argv=None):
         help="shard the self-sup point axis over this many devices "
              "(2-D (data, points) mesh; parallel/point_sp.py ring "
              "mean-shift + psum fitting).  1 = batch-only sharding")
-    add("--sa_eval_kernel", type=str, default="auto",
-        choices=["auto", "on", "off", "interpret"],
-        help="fused eval-mode SA Pallas kernel dispatch (ops/pallas/"
-             "fused_sa.py): on = dispatch on TPU when a tiling plan "
-             "exists; auto = currently off (pending a measured on-chip "
-             "win); off = always the jnp chain; interpret = force the "
-             "kernel in interpreter mode (tests)")
     add("--stage_dtypes", type=str, default="",
         help="per-encoder-stage dtype overrides for the bf16 bisection, "
              "e.g. 'sa1:bf16,fp2:q' (bf16 = stage MLP in bf16; q = f32 "

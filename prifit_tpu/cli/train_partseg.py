@@ -116,8 +116,6 @@ def build_model(args, mod):
         return mod.get_model(num_classes=args.num_parts, **kwargs)
     if getattr(args, "stage_dtypes", ""):
         dtype_kw["stage_dtypes"] = args.stage_dtypes
-    if getattr(args, "sa_eval_kernel", "auto") != "auto":
-        dtype_kw["sa_eval_kernel"] = args.sa_eval_kernel
     if args.model == "pretrain_pointnet2_part_seg_msg":
         return mod.get_model(num_parts=args.num_parts,
                              l2_norm=args.l2_norm,

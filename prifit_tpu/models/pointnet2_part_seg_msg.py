@@ -51,6 +51,9 @@ class get_model(nn.Module):
     num_charts: int = 25
     num_points: int = 128
     axis_name: str | None = None
+    # seg-head dropout probability (the reference's mutable ``drop1.p``;
+    # trajectory-parity tests set 0.0 on both sides)
+    dropout_rate: float = 0.5
     # encoder compute dtype: "auto" = bf16 on TPU, f32 elsewhere.  bf16
     # halves activation bandwidth through the SA/FP MLP chains; BN stats
     # and everything from the feat head on (seg logits, embedding,
@@ -60,9 +63,6 @@ class get_model(nn.Module):
     # semantics deviation) vs the reference's first-k-by-index
     # query_ball_point (ops/sampling.py; A/B in STATUS.md)
     fused_ball_query: bool = True
-    # fused eval-mode SA Pallas kernel dispatch: auto (TPU only) | off |
-    # interpret (force, interpreter mode — CPU tests)
-    sa_eval_kernel: str = "auto"
     # per-stage dtype overrides for the bf16-instability bisection
     # (STATUS.md): "sa1:bf16,fp2:q,..." — `bf16` runs the stage's MLP
     # chain in bf16 (fwd+bwd rounding); `q` keeps the stage f32 but
@@ -113,14 +113,12 @@ class get_model(nn.Module):
             512, [0.1, 0.2, 0.4], [32, 64, 128],
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt1,
             fused=self.fused_ball_query,
-            sa_eval_kernel=self.sa_eval_kernel,
             name="sa1")(l0_xyz, l0_points, train, bn_momentum)
         l1_points = self._maybe_quant(l1_points, q1)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.4, 0.8], [64, 128],
             [[128, 128, 256], [128, 196, 256]], an, dtype=dt2,
-            fused=self.fused_ball_query,
-            sa_eval_kernel=self.sa_eval_kernel, name="sa2")(
+            fused=self.fused_ball_query, name="sa2")(
                 l1_xyz, l1_points, train, bn_momentum)
         l2_points = self._maybe_quant(l2_points, q2)
         l3_xyz, l3_points = SetAbstraction(
@@ -238,7 +236,9 @@ class get_model(nn.Module):
             total_loss = total_loss + chamfer_loss_dense(recon, l0_xyz)
             chamfer = zero
 
-        x = nn.Dropout(0.5, deterministic=not train, name="drop1")(feat)
+        x = nn.Dropout(self.dropout_rate,
+                       deterministic=not train or self.dropout_rate == 0,
+                       name="drop1")(feat)
         x = nn.Dense(self.num_parts, name="conv2")(x)
         x = jax.nn.log_softmax(x, axis=-1)
 

@@ -35,14 +35,14 @@ class get_model(nn.Module):
     l2_norm: bool = False
     reconstruct: bool = False
     axis_name: str | None = None
+    # seg-head dropout probability (the reference's mutable ``drop1.p``;
+    # trajectory-parity tests set 0.0 on both sides)
+    dropout_rate: float = 0.5
     compute_dtype: str = "auto"
     # nearest-k-within-radius fused ball query (TPU-fast, documented
     # semantics deviation) vs the reference's first-k-by-index
     # query_ball_point (ops/sampling.py; A/B in STATUS.md)
     fused_ball_query: bool = True   # see pointnet2_part_seg_msg.get_model
-    # fused eval-mode SA Pallas kernel dispatch + per-stage dtype
-    # overrides — same semantics as pointnet2_part_seg_msg.get_model
-    sa_eval_kernel: str = "auto"
     stage_dtypes: str = ""
 
     @nn.compact
@@ -70,14 +70,12 @@ class get_model(nn.Module):
             512, [0.1, 0.2, 0.4], [32, 64, 128],
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]], an, dtype=dt1,
             fused=self.fused_ball_query,
-            sa_eval_kernel=self.sa_eval_kernel,
             name="sa1")(l0_xyz, l0_points, train, bn_momentum)
         l1_points = maybe_quant(l1_points, q1)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.4, 0.8], [64, 128],
             [[128, 128, 256], [128, 196, 256]], an, dtype=dt2,
-            fused=self.fused_ball_query,
-            sa_eval_kernel=self.sa_eval_kernel, name="sa2")(
+            fused=self.fused_ball_query, name="sa2")(
                 l1_xyz, l1_points, train, bn_momentum)
         l2_points = maybe_quant(l2_points, q2)
         l3_xyz, l3_points = SetAbstraction(
@@ -147,7 +145,9 @@ class get_model(nn.Module):
                 z, train, bn_momentum)
             total_loss = chamfer_loss_dense(recon, l0_xyz)
 
-        x = nn.Dropout(0.5, deterministic=not train, name="drop1")(feat)
+        x = nn.Dropout(self.dropout_rate,
+                       deterministic=not train or self.dropout_rate == 0,
+                       name="drop1")(feat)
         x = nn.Dense(self.num_parts, name="conv2")(x)
         x = jax.nn.log_softmax(x, axis=-1)
 

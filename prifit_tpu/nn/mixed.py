@@ -115,6 +115,23 @@ def sr_bf16(key, x):
     return jax.lax.bitcast_convert_type(y, jnp.float32).astype(MXDT)
 
 
+def bf16_affine(x, a, c):
+    """Single-rounded bf16 ``x * a + c`` — the canonical BN-affine value.
+
+    XLA compiles bf16 ``x * a + c`` as an f32 FMA chain rounded ONCE on
+    TPU (``--xla_allow_excess_precision``), but CPU XLA double-rounds
+    plain bf16 arithmetic, and the fused Pallas backward
+    (``ops/pallas/mixed_bwd.py``) recomputes in f32.  Writing the f32
+    form explicitly makes the forward, the jnp hand backward, and the
+    fused kernel agree bit for bit on EVERY backend (bf16 products are
+    exact in f32, so the only roundings are the f32 add and the final
+    cast) — the relu and max masks recomputed in the backward then
+    always match the forward's values, so max counts are never zero.
+    """
+    return (x.astype(jnp.float32) * a.astype(jnp.float32)
+            + c.astype(jnp.float32)).astype(MXDT)
+
+
 # ---------------------------------------------------------------- layers
 
 def _layer_fwd(xf, w, b, scale, bias):
@@ -188,7 +205,7 @@ def _prebn_fwd(xf, scale, bias):
     inv = jax.lax.rsqrt(var + _EPS)
     a = (scale * inv).astype(MXDT)
     c = (bias - mean * scale * inv).astype(MXDT)
-    y = jax.nn.relu(xf * a + c)
+    y = jax.nn.relu(bf16_affine(xf, a, c))
     res = (xf, a, c, scale, mean, inv, jnp.asarray(n, jnp.float32))
     return y, (mean, var), res
 
@@ -200,7 +217,7 @@ def _prebn_bwd(res, g):
     are f32 regardless (the casts live inside the fusion — registers,
     not HBM)."""
     xf, a, c, scale, mean, inv, n = res
-    y = xf * a + c                       # recompute relu sign, bf16
+    y = bf16_affine(xf, a, c)            # recompute relu sign, bf16
     gb = jnp.where(y > 0, g, 0).astype(jnp.float32)
     xhat = (xf.astype(jnp.float32) - mean) * inv
     dbias = jnp.sum(gb, axis=0)
@@ -291,14 +308,18 @@ def _mx_fwd(cfg, pre, params, key):
 def _mxsr_kernel_mode():
     """Fused Pallas layer-backward gate (``ops/pallas/mixed_bwd.py``).
 
-    ``PRIFIT_MXSR_KERNEL=off`` restores the jnp hand backward; ``auto``
-    (default) uses the fused kernels on TPU for layers whose shapes
-    pass the per-layer VMEM gates; ``interpret`` forces them in Pallas
-    interpreter mode on any backend (tests)."""
+    ``auto`` (default) resolves to OFF — a measured decision: on chip
+    the fused kernels LOSE to the jnp hand backward (sup step 70.6 vs
+    63.0 ms, 2026-08-19 A/B), the two-pass stats+apply structure paying
+    more in small-dot MXU inefficiency than it saves in avoided dz/gh
+    materialization.  ``PRIFIT_MXSR_KERNEL=on`` forces the kernels on
+    TPU for layers whose shapes pass the per-layer VMEM gates (A/B);
+    ``interpret`` forces them in Pallas interpreter mode on any backend
+    (tests); ``off`` is explicit."""
     m = os.environ.get("PRIFIT_MXSR_KERNEL", "auto")
     if m == "interpret":
         return "interpret"
-    if m != "off" and jax.default_backend() == "tpu":
+    if m == "on" and jax.default_backend() == "tpu":
         return "on"
     return "off"
 
@@ -342,7 +363,7 @@ def _mx_bwd(cfg, saved, cots):
             # is the bn tuple
             last = residuals[-1][2] if chain else residuals[-1]
             zl, al, cl = last[0], last[1], last[2]
-            h_flat = jax.nn.relu(zl * al + cl)             # [n, F] bf16
+            h_flat = jax.nn.relu(bf16_affine(zl, al, cl))  # [n, F] bf16
         rows, F = out_bf.shape
         h = h_flat.reshape(rows, h_flat.shape[0] // rows, F)
         mask = (h == out_bf[:, None, :])

@@ -8,10 +8,9 @@ reference's per-epoch momentum schedule doesn't recompile.
 
 ``PointMLP`` and ``GroupedFirstLayer`` own their parameters directly
 (setup-style, flat names) instead of nesting ``nn.Dense``/``BatchNorm``
-submodules: the fused eval kernel (``ops/pallas/fused_sa.py``) needs the
-raw weights and BN statistics to fold the whole grouped-MLP chain into
-VMEM, and flax submodule variables are only reachable by *calling* the
-submodule.  The math is unchanged — ``_dense`` replicates ``nn.Dense``
+submodules: the mx/mxsr custom-VJP regions need the raw parameters as
+one pytree, and flax submodule variables are only reachable by
+*calling* the submodule.  The math is unchanged — ``_dense`` replicates ``nn.Dense``
 (lecun-normal kernel, zero bias, default precision) and ``_bn_forward``
 replicates ``nn/norm.py::BatchNorm`` (torch-convention traced momentum,
 f32 statistics, unbiased running var, optional cross-replica mean).
@@ -26,10 +25,6 @@ activation bandwidth and VMEM on the MLP chains; BatchNorm keeps f32
 statistics either way and the segmentation/embedding heads stay f32
 (models/*).  The default TPU matmul already rounds operands to bf16, so
 bf16 activations change MLP numerics only at the elementwise ops.
-
-Eval forward on TPU dispatches each multi-scale SA scale to the fused
-Pallas kernel (gather + folded BN + ReLU chain + max-over-K in VMEM) when
-a tiling plan exists; training and CPU keep the jnp chain.
 """
 
 from typing import Sequence
@@ -41,11 +36,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from prifit_tpu.nn.mixed import MX, MXSR, mx_chain
-from prifit_tpu.ops.pallas.fused_sa import (
-    fold_bn,
-    fused_sa_scale,
-    has_fused_plan,
-)
 from prifit_tpu.ops.sampling import (
     ball_query_nearest_shared,
     farthest_point_sample,
@@ -377,16 +367,6 @@ class PointMLP(nn.Module):
         for i, (mean, var) in enumerate(stats):
             _update_running(self, self.bn[i], mean, var, momentum, n)
 
-    def folded_eval(self):
-        """Chain weights with eval BN folded in: dense+BN == x @ w' + b'."""
-        ws, bs = [], []
-        for i in range(len(self.features)):
-            scale, bias, m, v = self.bn[i]
-            a, c = fold_bn(m.value, v.value, scale, bias)
-            ws.append(self.ws[i] * a[None, :])
-            bs.append(self.bs[i] * a + c)
-        return ws, bs
-
 
 class GroupedFirstLayer(nn.Module):
     """First grouped-MLP layer with a width-aware gather.
@@ -446,15 +426,6 @@ class GroupedFirstLayer(nn.Module):
             pre = pre + self.b
         return pre
 
-    def eval_pre_cen(self, xyz, points, new_xyz):
-        """Folded (table, centers) for the fused eval kernel: the grouped
-        layer's post-BN pre-ReLU value is ``table[idx] - centers``."""
-        a, c = fold_bn(self.bn[2].value, self.bn[3].value,
-                       self.bn[0], self.bn[1])
-        pre = self.pre_affine(xyz, points)
-        cen = _dense(new_xyz, self.w_xyz)
-        return pre * a, cen * a - c
-
     def pre_tensor(self, xyz, points, new_xyz, idx):
         """The pre-BN grouped activation [B, S, K, features], f32.
 
@@ -501,30 +472,10 @@ class GroupedFirstLayer(nn.Module):
         return nn.relu(grouped)
 
 
-def _fused_scale_ok(module, mlp, N, K, S, train):
-    """Gate for the fused eval-mode Pallas scale kernel.
-
-    ``auto`` currently resolves to OFF pending an on-chip win: the
-    kernel compiles (after the three Mosaic-crash workarounds in
-    ops/pallas/gather.py) but its chunked-shuffle gather has not yet
-    beaten the one-hot jnp path in a clean benchmark.  ``on`` forces
-    the dispatch on TPU, ``interpret`` forces the kernel in interpreter
-    mode on any backend (tests).
-    """
-    mode = module.sa_eval_kernel
-    if mode in ("off", "auto") or train or module.dtype is not None \
-            or len(mlp) < 2:
-        return False
-    if mode != "interpret" and jax.default_backend() != "tpu":
-        return False
-    return has_fused_plan(N, K, S, list(mlp))
-
-
 def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
                bn_momentum):
     """One SA scale: grouped first layer + chain + max over K, via the
-    mx custom-VJP region (train), the fused VMEM kernel (eval, TPU), or
-    the jnp path."""
+    mx custom-VJP region (train) or the jnp path."""
     B, N, _ = xyz.shape
     S, K = idx.shape[1], idx.shape[2]
     if _mx_mode(module, train):
@@ -541,15 +492,22 @@ def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
         gfl.mx_update_stats(*stats[0], bn_momentum, n)
         pmlp.mx_update_stats(stats[1:], bn_momentum, n)
         return out
-    if _fused_scale_ok(module, mlp, N, K, S, train):
-        pre, cen = gfl.eval_pre_cen(xyz, points, new_xyz)
-        ws, bs = pmlp.folded_eval()
-        return fused_sa_scale(
-            pre, cen, idx, ws, bs,
-            interpret=module.sa_eval_kernel == "interpret")
     h = gfl(xyz, points, new_xyz, idx, train, bn_momentum)
     out = pmlp(h, train, bn_momentum)
     return jnp.max(out, axis=2)
+
+
+def _fps_idx(module, xyz, npoint, train):
+    """Random-start FPS in training (the reference's ``torch.randint``,
+    ``pointnet_util.py:77``), start-0 deterministic in eval.
+    ``PRIFIT_DET_FPS=1`` pins the start in training too — used by the
+    full-model trajectory-parity test (tests/test_model_parity.py),
+    which patches the reference's ``torch.randint`` to zero the same
+    way."""
+    if not train or os.environ.get("PRIFIT_DET_FPS", "0") == "1":
+        return farthest_point_sample(xyz, npoint, deterministic=True)
+    return farthest_point_sample(xyz, npoint,
+                                 key=module.make_rng("sampling"))
 
 
 class SetAbstraction(nn.Module):
@@ -566,7 +524,6 @@ class SetAbstraction(nn.Module):
     axis_name: str | None = None
     fused: bool = True
     dtype: jnp.dtype | None = None
-    sa_eval_kernel: str = "auto"   # auto | off | interpret
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
@@ -594,36 +551,26 @@ class SetAbstraction(nn.Module):
         # rounding; ops/sampling.py::index_points precision note)
         prec = None if _run_dtype(self, train) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
-        if train:
-            key = self.make_rng("sampling")
-            fps_idx = farthest_point_sample(xyz, self.npoint, key=key)
-        else:
-            fps_idx = farthest_point_sample(xyz, self.npoint,
-                                            deterministic=True)
+        fps_idx = _fps_idx(self, xyz, self.npoint, train)
         new_xyz = index_points(xyz, fps_idx, precision=prec)
 
+        # ``fused`` selects ball-query SEMANTICS only (nearest-k vs the
+        # reference's first-k-by-index); the parameter layout is shared,
+        # so checkpoints are portable across the A/B knob and the torch
+        # importer (train/torch_port.py) targets one layout.
         if self.fused:
             (idx,) = ball_query_nearest_shared(
                 [self.radius], [self.nsample], xyz, new_xyz)
-            gfl = GroupedFirstLayer(self.mlp[0], d_in, self.axis_name,
-                                    self.dtype)
-            pmlp = PointMLP(self.mlp[1:], self.mlp[0], self.axis_name,
-                            self.dtype)
-            out = _run_scale(self, gfl, pmlp, self.mlp, xyz, points,
-                             new_xyz, idx, train, bn_momentum)
-            return new_xyz, out
-        idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-        grouped_xyz = index_points(xyz, idx, precision=prec) \
-            - new_xyz[:, :, None, :]
-        if points is not None:
-            grouped = jnp.concatenate(
-                [grouped_xyz, index_points(points, idx,
-                                           precision=prec)], axis=-1)
         else:
-            grouped = grouped_xyz
-        out = PointMLP(self.mlp, 3 + d_in, self.axis_name, self.dtype)(
-            grouped, train, bn_momentum)
-        return new_xyz, jnp.max(out, axis=2)
+            idx = query_ball_point(self.radius, self.nsample, xyz,
+                                   new_xyz)
+        gfl = GroupedFirstLayer(self.mlp[0], d_in, self.axis_name,
+                                self.dtype)
+        pmlp = PointMLP(self.mlp[1:], self.mlp[0], self.axis_name,
+                        self.dtype)
+        out = _run_scale(self, gfl, pmlp, self.mlp, xyz, points,
+                         new_xyz, idx, train, bn_momentum)
+        return new_xyz, out
 
 
 class SetAbstractionMsg(nn.Module):
@@ -640,51 +587,36 @@ class SetAbstractionMsg(nn.Module):
     axis_name: str | None = None
     fused: bool = True
     dtype: jnp.dtype | None = None
-    sa_eval_kernel: str = "auto"   # auto | off | interpret
 
     @nn.compact
     def __call__(self, xyz, points, train: bool, bn_momentum=0.1):
         prec = None if _run_dtype(self, train) == jnp.bfloat16 \
             else jax.lax.Precision.HIGHEST
         d_in = 0 if points is None else points.shape[-1]
-        if train:
-            key = self.make_rng("sampling")
-            fps_idx = farthest_point_sample(xyz, self.npoint, key=key)
-        else:
-            fps_idx = farthest_point_sample(xyz, self.npoint,
-                                            deterministic=True)
+        fps_idx = _fps_idx(self, xyz, self.npoint, train)
         new_xyz = index_points(xyz, fps_idx, precision=prec)
 
         outs = []
+        # ``fused`` selects ball-query SEMANTICS only (nearest-k vs the
+        # reference's first-k-by-index); the parameter layout is shared
+        # across the knob (see SetAbstraction).
         if self.fused:
             # one distance matrix + one packed min_k serves every radius;
             # per-radius neighbor lists are prefixes of the same sorted set
             idx_list = ball_query_nearest_shared(
                 self.radius_list, self.nsample_list, xyz, new_xyz)
-            for i, (idx, mlp) in enumerate(zip(idx_list, self.mlp_list)):
-                gfl = GroupedFirstLayer(mlp[0], d_in, self.axis_name,
-                                        self.dtype,
-                                        name=f"GroupedFirstLayer_{i}")
-                pmlp = PointMLP(mlp[1:], mlp[0], self.axis_name,
-                                self.dtype, name=f"PointMLP_{i}")
-                outs.append(_run_scale(self, gfl, pmlp, mlp, xyz, points,
-                                       new_xyz, idx, train, bn_momentum))
-            return new_xyz, jnp.concatenate(outs, axis=-1)
-
-        for radius, k, mlp in zip(self.radius_list, self.nsample_list,
-                                  self.mlp_list):
-            idx = query_ball_point(radius, k, xyz, new_xyz)
-            grouped_xyz = index_points(xyz, idx, precision=prec) \
-                - new_xyz[:, :, None, :]
-            if points is not None:
-                grouped = jnp.concatenate(
-                    [index_points(points, idx, precision=prec),
-                     grouped_xyz], axis=-1)
-            else:
-                grouped = grouped_xyz
-            out = PointMLP(mlp, 3 + d_in, self.axis_name, self.dtype)(
-                grouped, train, bn_momentum)
-            outs.append(jnp.max(out, axis=2))
+        else:
+            idx_list = [query_ball_point(radius, k, xyz, new_xyz)
+                        for radius, k in zip(self.radius_list,
+                                             self.nsample_list)]
+        for i, (idx, mlp) in enumerate(zip(idx_list, self.mlp_list)):
+            gfl = GroupedFirstLayer(mlp[0], d_in, self.axis_name,
+                                    self.dtype,
+                                    name=f"GroupedFirstLayer_{i}")
+            pmlp = PointMLP(mlp[1:], mlp[0], self.axis_name,
+                            self.dtype, name=f"PointMLP_{i}")
+            outs.append(_run_scale(self, gfl, pmlp, mlp, xyz, points,
+                                   new_xyz, idx, train, bn_momentum))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

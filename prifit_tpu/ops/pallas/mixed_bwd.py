@@ -80,15 +80,13 @@ def _lin2(row0, shape, ncols):
 def _gb_xhat(z, g, a, c, mean, inv):
     """Recompute relu mask + BN xhat from the bf16 residuals.
 
-    Matches ``_prebn_bwd``: ``y = z * a + c`` in bf16, ``gb`` f32.
-
-    The bf16 product is formed in f32 and rounded ONCE: XLA compiles
-    bf16 ``z * a + c`` as a single-rounded f32 FMA chain
-    (``--xla_allow_excess_precision``, measured: 100% match vs 73% for
-    round-after-multiply), while Mosaic bf16 arithmetic double-rounds —
-    recomputing with Mosaic's rounding would disagree with the saved
-    forward values.  Comparisons run in f32 (no bf16 cmpf on v5e; f32
-    is exact on bf16 values).
+    Matches ``_prebn_bwd``, whose recompute is ``bf16_affine`` — the
+    explicit f32-FMA-rounded-once form shared by the forward, the jnp
+    backward, and this kernel, so all three agree bit for bit on every
+    backend (Mosaic bf16 arithmetic double-rounds; XLA TPU single-
+    rounds; CPU XLA double-rounds — the explicit f32 form sidesteps
+    all of that).  Comparisons run in f32 (no bf16 cmpf on v5e; f32 is
+    exact on bf16 values).
     """
     y = (z.astype(jnp.float32) * a.astype(jnp.float32)
          + c.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -178,7 +176,12 @@ def _max_prologue(z, gout, outbf, a, c, key_ref, row0, Fo):
     maskf = (h.astype(jnp.float32)
              == outbf.astype(jnp.float32)[:, None, :]).astype(jnp.float32)
     cnt = jnp.sum(maskf, axis=1)                             # [R, Fo]
-    gsm = gout.astype(jnp.float32) / cnt
+    # clamp: with shared recompute semantics cnt >= 1 always, but if a
+    # future numerics drift ever made cnt == 0 for some [row, f],
+    # g / 0 = inf and maskf * inf = NaN would poison the whole column
+    # (where() would have yielded a finite 0).  maskf zeros the product
+    # when the mask is empty, so the clamp is exact in every case.
+    gsm = gout.astype(jnp.float32) / jnp.maximum(cnt, 1.0)
     gsm = _sr(gsm, _hash16(key_ref[0, 4], key_ref[0, 5],
                            _lin2(row0, gsm.shape, Fo)))
     # expand gsm in f32: Mosaic can't relayout a non-unit-sublane bf16
@@ -266,12 +269,14 @@ def _key_words(*keys):
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
-# the tile budget above counts operand/output blocks only; Mosaic's
-# scoped-vmem accounting also includes the kernel's f32 intermediates
-# (h/mask/gb/xhat casts), which overflow the default 16 MB limit at the
-# sa3 shapes — raise the scoped limit (v5e has 128 MB VMEM/core)
-_COMPILER_PARAMS = pltpu.CompilerParams(
-    vmem_limit_bytes=48 * 1024 * 1024)
+# Mosaic's scoped-vmem check accounts operand/output blocks AND the
+# kernel's f32 intermediates (y/gb/xhat/dz recomputes, hash bits).
+# The operand budget above picks the row tile; the scoped limit is then
+# DERIVED from that tile's estimated total footprint (below) instead of
+# a fixed constant, so every shape the supports_* gates admit also
+# compiles (v5e has 128 MB VMEM/core; the estimate is clamped well
+# under that).
+_VMEM_CEIL = 100 * 1024 * 1024
 
 
 def _pad128(f):
@@ -281,17 +286,35 @@ def _pad128(f):
     return -(-f // 128) * 128
 
 
+def _plain_footprint(t, fi, fo):
+    """Estimated VMEM bytes for one plain-kernel grid step at row tile
+    ``t`` (padded widths): operand/output blocks plus the f32
+    intermediates the apply kernel materializes (y/gb/xhat/dz at
+    [t, fo], hash bits at [t, fo] and [t, fi], f32 dx before SR)."""
+    operands = (t * (2 * fo * 2 + fi * 2 + fi * 4)     # z, g, xf, dx
+                + 2 * fi * fo * 4 + fi * fo * 2)       # w, dw, wb
+    interm = t * fo * 4 * 5 + t * fi * 4 * 2
+    return operands, operands + interm
+
+
 def _row_tile(n, Fi, Fo):
     """Largest power-of-two row tile dividing n within the VMEM budget."""
     fi, fo = _pad128(Fi), _pad128(Fo)
     for t in (1024, 512, 256, 128):
         if n % t:
             continue
-        tile_bytes = (t * (2 * fo * 2 + fi * 2 + fi * 4)     # z, g, xf, dx
-                      + 2 * fi * fo * 4 + fi * fo * 2)       # w, dw, wb
-        if tile_bytes <= _VMEM_BUDGET:
+        operands, total = _plain_footprint(t, fi, fo)
+        if operands <= _VMEM_BUDGET and total <= _VMEM_CEIL:
             return t
     return 0
+
+
+def _limit_params(total_bytes):
+    """Compiler params with the scoped-vmem limit derived from the
+    tile's estimated footprint (headroom for Mosaic's own scratch)."""
+    lim = min(_VMEM_CEIL, max(32 * 1024 * 1024,
+                              total_bytes + 8 * 1024 * 1024))
+    return pltpu.CompilerParams(vmem_limit_bytes=lim)
 
 
 def supports_layer_bwd(n, Fi, Fo):
@@ -309,6 +332,8 @@ def layer_bwd_pallas(res, g, sr_key, sr_out, interpret=False):
     n, Fi = xf.shape
     Fo = z.shape[-1]
     T = _row_tile(n, Fi, Fo)
+    cparams = _limit_params(_plain_footprint(T, _pad128(Fi),
+                                             _pad128(Fo))[1])
     keys = _key_words(jax.random.fold_in(sr_key, 0),
                       jax.random.fold_in(sr_key, 1))
     vecs = [_vec(a), _vec(c), _vec(mean, jnp.float32),
@@ -331,7 +356,7 @@ def layer_bwd_pallas(res, g, sr_key, sr_out, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((1, Fo), jnp.float32),
                    jax.ShapeDtypeStruct((1, Fo), jnp.float32)),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=cparams,
     )(z, g, *vecs)
 
     sums = jnp.concatenate([dbias, dscale], axis=0)
@@ -358,7 +383,7 @@ def layer_bwd_pallas(res, g, sr_key, sr_out, interpret=False):
             (n, Fi), jnp.bfloat16 if sr_out else jnp.float32),
                    jax.ShapeDtypeStruct((Fi, Fo), jnp.float32)),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=cparams,
     )(keys, z, g, xf, w.astype(jnp.float32), vecs[0], vecs[1],
       _vec(scale, jnp.float32), vecs[2], vecs[3], sums)
 
@@ -366,14 +391,24 @@ def layer_bwd_pallas(res, g, sr_key, sr_out, interpret=False):
     return dx, (dw, zeros_b, dscale.reshape(-1), dbias.reshape(-1))
 
 
+def _max_footprint(t, K, fi, fo):
+    """Estimated VMEM bytes for one max-kernel grid step: operand
+    blocks plus the [t*K, fo]-sized f32 intermediates of the fused max
+    prologue + BN backward (h32, maskf, gb, xhat, dz) and the f32 dx /
+    hash bits at [t*K, fi]."""
+    operands = (t * K * (fo * 2 + fi * 2 + fi * 2)
+                + 2 * fi * fo * 4 + fi * fo * 2)
+    interm = t * K * (fo * 4 * 5 + fi * 4 * 2)
+    return operands, operands + interm
+
+
 def _row_tile_max(rows, K, Fi, Fo):
     fi, fo = _pad128(Fi), _pad128(Fo)
     for t in (64, 32, 16, 8, 4, 2, 1):
         if rows % t:
             continue
-        tile_bytes = t * K * (fo * 2 + fi * 2 + fi * 2) \
-            + 2 * fi * fo * 4 + fi * fo * 2
-        if tile_bytes <= _VMEM_BUDGET:
+        operands, total = _max_footprint(t, K, fi, fo)
+        if operands <= _VMEM_BUDGET and total <= _VMEM_CEIL:
             return t
     return 0
 
@@ -398,6 +433,8 @@ def layer_bwd_max_pallas(res, g_out, out_bf, region_key, sr_key, sr_out,
     n, Fi = xf.shape
     K = n // rows
     R = _row_tile_max(rows, K, Fi, Fo)
+    cparams = _limit_params(_max_footprint(R, K, _pad128(Fi),
+                                           _pad128(Fo))[1])
     z3 = z.reshape(rows, K, Fo)
     xf3 = xf.reshape(rows, K, Fi)
     keys = _key_words(jax.random.fold_in(sr_key, 0),
@@ -425,7 +462,7 @@ def layer_bwd_max_pallas(res, g_out, out_bf, region_key, sr_key, sr_out,
         out_shape=(jax.ShapeDtypeStruct((1, Fo), jnp.float32),
                    jax.ShapeDtypeStruct((1, Fo), jnp.float32)),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=cparams,
     )(keys, z3, g_out, out_bf, *vecs)
 
     sums = jnp.concatenate([dbias, dscale], axis=0)
@@ -452,7 +489,7 @@ def layer_bwd_max_pallas(res, g_out, out_bf, region_key, sr_key, sr_out,
             (rows, K, Fi), jnp.bfloat16 if sr_out else jnp.float32),
                    jax.ShapeDtypeStruct((Fi, Fo), jnp.float32)),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=cparams,
     )(keys, z3, g_out, out_bf, xf3, w.astype(jnp.float32), vecs[0],
       vecs[1], _vec(scale, jnp.float32), vecs[2], vecs[3], sums)
 

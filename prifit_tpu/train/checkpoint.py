@@ -114,8 +114,20 @@ def restore_params_only(directory: str, name: str, state):
     pretrain checkpoint legitimately lacks finetune-only heads (e.g.
     ``extra_conv_emb`` when the pretrainer ran without the embedding
     head).  Equivalent semantics here: merge the checkpoint into the
-    fresh init, keeping fresh params for subtrees the checkpoint lacks."""
-    restored = _raw_restore(directory, name)
+    fresh init, keeping fresh params for subtrees the checkpoint lacks.
+
+    A ``.pth`` name is a REFERENCE torch checkpoint (raw state_dict or
+    the reference's ``{model_state_dict, ...}`` training wrapper,
+    ``testing.py:96-107`` / ``train_partseg_shapenet.py:263-280``) and
+    is imported via the weight-port shim (``train/torch_port.py``)."""
+    if name.endswith(".pth"):
+        from prifit_tpu.train.torch_port import load_torch_checkpoint
+
+        restored, meta = load_torch_checkpoint(osp.join(directory, name))
+        if meta:
+            print(f"torch checkpoint metadata keys: {sorted(meta)}")
+    else:
+        restored = _raw_restore(directory, name)
     params, miss_p, n_p = _merge_trees(jax.device_get(state.params),
                                        restored["params"])
     stats, miss_s, _ = _merge_trees(jax.device_get(state.batch_stats),

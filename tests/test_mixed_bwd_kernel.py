@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from prifit_tpu.nn.mixed import MXDT, _layer_bwd, sr_bf16
+from prifit_tpu.nn.mixed import MXDT, _layer_bwd, bf16_affine, sr_bf16
 from prifit_tpu.ops.pallas.mixed_bwd import (
     layer_bwd_max_pallas,
     layer_bwd_pallas,
@@ -129,7 +129,7 @@ class TestMaxKernel:
         xf, w, res_bn = res
         z, a, c = res_bn[0], res_bn[1], res_bn[2]
         rows, F = out_bf.shape
-        h = jax.nn.relu(z * a + c)
+        h = jax.nn.relu(bf16_affine(z, a, c))
         h3 = h.reshape(rows, -1, F)
         mask = h3 == out_bf[:, None, :]
         cnt = jnp.sum(mask, axis=1)
@@ -161,7 +161,7 @@ class TestMaxKernel:
                  + jnp.asarray(bonus.reshape(n, fo))).astype(MXDT)
             res_bn = (z, *res_bn[1:])
             res = (xf, w, res_bn)
-        h = jax.nn.relu(z * a + c)
+        h = jax.nn.relu(bf16_affine(z, a, c))
         out_bf = jnp.max(h.reshape(rows, K, fo), axis=1)
         if float_data:
             g_out = jnp.asarray(rng.normal(size=(rows, fo)),

@@ -49,7 +49,6 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--encoder_dtype", default="auto")
-    ap.add_argument("--sa_eval_kernel", default="auto")
     ap.add_argument("pieces", nargs="*", default=[])
     args = ap.parse_args()
     pieces = set(args.pieces) or {
@@ -57,7 +56,6 @@ def main():
         "sup_step", "selfsup_step"}
     print("backend:", jax.default_backend(),
           "encoder_dtype:", args.encoder_dtype,
-          "sa_eval_kernel:", args.sa_eval_kernel,
           "gather:", os.environ.get("PRIFIT_GATHER", "auto"))
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
@@ -68,7 +66,7 @@ def main():
         npoint=64, quantile=0.05, msc_iterations=10, max_num_clusters=25,
         n_per_prim=256, batch=2,
         compute_dtype=args.encoder_dtype,
-        sa_eval_kernel=args.sa_eval_kernel)
+)
     variables = state.variables()
     kwargs = dict(include_convex_loss=True, quantile=0.05,
                   msc_iterations=10, max_num_clusters=25, n_per_prim=256)

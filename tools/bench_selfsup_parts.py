@@ -168,13 +168,13 @@ def main():
               cl.weights)
 
     if "sample" in pieces:
-        def s_fwd(scale):
-            pr = params._replace(scale=scale)
+        def s_fwd(r):
+            pr = params._replace(r=r)
             s, w = sample_primitives_batch(pr, n_per_prim=NPP)
             return jnp.sum(s ** 2) * 1e-6 + jnp.sum(w ** 2)
-        timed("sample fwd", chained(s_fwd), params.scale)
-        timed("sample fwd+grad(scale)", chained(s_fwd, grad=True),
-              params.scale)
+        timed("sample fwd", chained(s_fwd), params.r)
+        timed("sample fwd+grad(r)", chained(s_fwd, grad=True),
+              params.r)
 
     if "chamfer" in pieces:
         def ch_fwd(s):
