@@ -74,8 +74,34 @@ def measure_tpu() -> tuple[float, float, float, float]:
     v = float(np.asarray(many(points, cls)))
     dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
 
-    ss_dt, sup_dt = _measure_train_steps(mod, model, state, points, cls)
-    return BATCH / dt, BATCH / ss_dt, BATCH / sup_dt, compile_s
+    ss_dt, sup_dt, ss_mfu, sup_mfu = _measure_train_steps(
+        mod, model, state, points, cls)
+    return (BATCH / dt, BATCH / ss_dt, BATCH / sup_dt, compile_s,
+            ss_mfu, sup_mfu)
+
+
+# v5e peak is 197 bf16 TFLOPS/chip; DEFAULT-precision f32 matmuls run as
+# single-pass bf16 on the MXU, so this is the honest denominator for both
+# dtype modes (HIGHEST-precision ops undercount their passes — noted).
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+
+
+def _step_flops(step, *args) -> float | None:
+    """XLA's model-FLOPs estimate for one compiled step (None if the
+    backend doesn't expose cost analysis)."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _mfu(flops: float | None, dt: float) -> float | None:
+    if flops is None or dt <= 0:
+        return None
+    return flops / dt / (PEAK_TFLOPS * 1e12)
 
 
 def _measure_train_steps(mod, model, state, points, cls):
@@ -83,7 +109,8 @@ def _measure_train_steps(mod, model, state, points, cls):
 
     These regression-track the fused mean-shift backward, the
     one-hot/lane gather gradients, and the encoder backward, which the
-    eval-mode headline cannot see.
+    eval-mode headline cannot see.  Returns (ss_dt, sup_dt, ss_mfu,
+    sup_mfu); MFU = XLA cost-analysis FLOPs / time / v5e bf16 peak.
     """
     import jax
     import jax.numpy as jnp
@@ -101,6 +128,8 @@ def _measure_train_steps(mod, model, state, points, cls):
         st, m = ss_step(st, points, points, cls, 0.001, 0.1, 1.0, key)
     _ = float(np.asarray(m["ss_loss"]))
     ss_dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
+    ss_mfu = _mfu(_step_flops(ss_step, state, points, points, cls,
+                              0.001, 0.1, 1.0, key), ss_dt)
 
     sup_step = make_supervised_step(model, mod.get_loss)
     target = jnp.zeros((BATCH, NPOINT), jnp.int32)
@@ -111,7 +140,9 @@ def _measure_train_steps(mod, model, state, points, cls):
         st, m = sup_step(st, points, cls, target, 0.001, 0.1, key)
     _ = float(np.asarray(m["loss"]))
     sup_dt = (time.time() - t0 - SYNC_OVERHEAD_S) / REPS
-    return ss_dt, sup_dt
+    sup_mfu = _mfu(_step_flops(sup_step, state, points, cls, target,
+                               0.001, 0.1, key), sup_dt)
+    return ss_dt, sup_dt, ss_mfu, sup_mfu
 
 
 def measure_mxsr_steps() -> tuple[float, float]:
@@ -132,8 +163,9 @@ def measure_mxsr_steps() -> tuple[float, float]:
     rng = np.random.default_rng(0)
     points = jnp.asarray(rng.normal(size=(BATCH, NPOINT, 3)), jnp.float32)
     cls = jnp.zeros((BATCH, 16), jnp.float32)
-    ss_dt, sup_dt = _measure_train_steps(mod, model, state, points, cls)
-    return BATCH / ss_dt, BATCH / sup_dt
+    ss_dt, sup_dt, ss_mfu, sup_mfu = _measure_train_steps(
+        mod, model, state, points, cls)
+    return BATCH / ss_dt, BATCH / sup_dt, ss_mfu, sup_mfu
 
 
 def load_baseline() -> float | None:
@@ -147,18 +179,26 @@ def load_baseline() -> float | None:
 
 def main():
     (clouds_per_sec, train_clouds_per_sec, sup_clouds_per_sec,
-     compile_s) = measure_tpu()
+     compile_s, ss_mfu, sup_mfu) = measure_tpu()
     baseline = load_baseline()
     vs = clouds_per_sec / baseline if baseline else 0.0
     extra = {}
+    if ss_mfu is not None:
+        extra["selfsup_train_step_mfu"] = round(ss_mfu, 4)
+    if sup_mfu is not None:
+        extra["supervised_train_step_mfu"] = round(sup_mfu, 4)
     if os.environ.get("BENCH_MXSR", "1") != "0":
-        mxsr_ss, mxsr_sup = measure_mxsr_steps()
-        extra = {
+        mxsr_ss, mxsr_sup, mxsr_ss_mfu, mxsr_sup_mfu = measure_mxsr_steps()
+        extra.update({
             "selfsup_train_step_ms_mxsr":
                 round(1000.0 * BATCH / mxsr_ss, 2),
             "supervised_train_step_ms_mxsr":
                 round(1000.0 * BATCH / mxsr_sup, 2),
-        }
+        })
+        if mxsr_ss_mfu is not None:
+            extra["selfsup_train_step_mfu_mxsr"] = round(mxsr_ss_mfu, 4)
+        if mxsr_sup_mfu is not None:
+            extra["supervised_train_step_mfu_mxsr"] = round(mxsr_sup_mfu, 4)
     print(json.dumps({
         "metric": "prifit fwd+fit clouds/sec/chip "
                   f"(B={BATCH}, N={NPOINT}, msc=10, K=25) "

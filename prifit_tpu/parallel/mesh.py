@@ -70,11 +70,23 @@ def maybe_initialize_distributed() -> bool:
 
     No-op on single-host runs.  Honors the standard env used by TPU pod
     launchers (``jax.distributed.initialize`` auto-detects TPU pods; the
-    env guard avoids touching single-chip axon sessions).
+    env guard avoids touching single-chip axon sessions).  When the
+    coordinator address is explicit (``JAX_COORDINATOR_ADDRESS``), the
+    process id/count are read from env too — this is the non-TPU path
+    (CPU multi-process, exercised by ``tools/dryrun_multihost.py``).
     """
     flag = os.environ.get("PRIFIT_DISTRIBUTED", "").strip().lower()
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            flag in ("1", "true", "yes", "on"):
-        jax.distributed.initialize()
-        return True
-    return False
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr and flag not in ("1", "true", "yes", "on"):
+        return False
+    kwargs = {}
+    if addr:
+        kwargs["coordinator_address"] = addr
+        npro = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if npro is not None:
+            kwargs["num_processes"] = int(npro)
+        if pid is not None:
+            kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+    return True
