@@ -110,6 +110,128 @@ def _template(rng, parts):
                  R=_rot(rng)) for _ in range(parts)]
 
 
+# ------------------------------------------------------ superquadric family
+#
+# Second accuracy workload (VERDICT r3 item 6): parts that are NOT
+# ellipsoids, so the convex-fit hypothesis is only approximate — boxes,
+# pinched octahedroids, toroids (a genuine hole/concavity) and bent tubes.
+# An ellipsoid fitted to such a part is a lossy summary, which is the
+# real-data regime (ShapeNet parts are not quadrics either).
+
+def _sq_cs(theta, eps):
+    c, s = np.cos(theta), np.sin(theta)
+    return (np.sign(c) * np.abs(c) ** eps,
+            np.sign(s) * np.abs(s) ** eps)
+
+
+def _sq_points(eta, omega, p):
+    """Superquadric / supertoroid surface point(s), with optional bend.
+
+    Standard parameterization (Barr 1981): eta in [-pi/2, pi/2]
+    (ellipsoid) or [-pi, pi] (toroid), omega in [-pi, pi].
+    """
+    a1, a2, a3 = p["a"]
+    e1, e2 = p["eps"]
+    ce, se = _sq_cs(eta, e1)
+    co, so = _sq_cs(omega, e2)
+    if p.get("hole", 0.0) > 0:
+        ring = p["hole"] + ce
+        parts = [a1 * ring * co, a2 * ring * so, a3 * se + 0.0 * co]
+    else:
+        parts = [a1 * ce * co, a2 * ce * so, a3 * se + 0.0 * co]
+    xyz = np.stack(np.broadcast_arrays(*parts), -1)
+    k = p.get("bend", 0.0)
+    if abs(k) > 1e-6:
+        # circular bend of the z axis (curvature k): concave inner side
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        r = 1.0 / k - x
+        xyz = np.stack([1.0 / k - r * np.cos(z * k),
+                        y, r * np.sin(z * k)], -1)
+    return xyz
+
+
+def _sample_superquadric(rng, p, n):
+    """~Area-uniform surface samples + numerical normals for one part.
+
+    A parameter grid's cell areas (cross product of FD partials) weight
+    the (eta, omega) proposal; normals come from the same partials at the
+    sampled parameters, so deformations (bend) are handled for free.
+    """
+    eta_lo, eta_hi = ((-np.pi, np.pi) if p.get("hole", 0.0) > 0
+                      else (-np.pi / 2, np.pi / 2))
+    G = 64
+    ec = np.linspace(eta_lo, eta_hi, G + 1)
+    oc = np.linspace(-np.pi, np.pi, 2 * G + 1)
+    V = _sq_points(ec[:, None], oc[None, :], p)           # [G+1, 2G+1, 3]
+    de = V[1:, :-1] - V[:-1, :-1]
+    do = V[:-1, 1:] - V[:-1, :-1]
+    area = np.linalg.norm(np.cross(de, do), axis=-1).ravel()
+    cells = rng.choice(area.size, size=n, p=area / area.sum())
+    ei, oi = np.unravel_index(cells, (G, 2 * G))
+    eta = ec[ei] + rng.uniform(0, 1, n) * (ec[1] - ec[0])
+    omega = oc[oi] + rng.uniform(0, 1, n) * (oc[1] - oc[0])
+    xyz = _sq_points(eta, omega, p)
+    h = 1e-4
+    t_e = _sq_points(eta + h, omega, p) - _sq_points(eta - h, omega, p)
+    t_o = _sq_points(eta, omega + h, p) - _sq_points(eta, omega - h, p)
+    nrm = np.cross(t_e, t_o)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    return xyz, nrm
+
+
+def _sq_template(rng, parts):
+    """Category pool: mixed box-ish / octahedroid / toroid / bent-tube
+    parts (exponents eps < 1 are boxy, > 1 pinched; hole > 0 a toroid)."""
+    out = []
+    for _ in range(parts):
+        kind = rng.choice(["box", "pinch", "toroid", "tube"])
+        p = dict(a=rng.uniform(0.35, 1.1, 3),
+                 c=rng.normal(scale=1.2, size=3),
+                 R=_rot(rng), eps=rng.uniform(0.3, 1.0, 2),
+                 hole=0.0, bend=0.0)
+        if kind == "pinch":
+            p["eps"] = rng.uniform(1.2, 2.2, 2)
+        elif kind == "toroid":
+            p["eps"] = rng.uniform(0.5, 1.5, 2)
+            p["hole"] = rng.uniform(1.3, 2.5)
+            p["a"] = rng.uniform(0.25, 0.6, 3)
+        elif kind == "tube":
+            p["a"] = np.array([rng.uniform(0.15, 0.35),
+                               rng.uniform(0.15, 0.35),
+                               rng.uniform(0.8, 1.6)])
+            p["bend"] = rng.uniform(0.4, 1.0)
+        out.append(p)
+    return out
+
+
+def _sq_jitter(rng, q):
+    """Per-shape pose/size jitter of one pooled superquadric part."""
+    p = dict(q)
+    p["a"] = q["a"] * rng.uniform(0.6, 1.5, 3)
+    p["c"] = q["c"] + rng.normal(scale=0.4, size=3)
+    p["R"] = q["R"] @ _rot_small(rng, 0.5)
+    p["eps"] = np.clip(q["eps"] * rng.uniform(0.8, 1.25, 2), 0.25, 2.5)
+    return p
+
+
+def _sample_shape_sq(rng, template, n_points):
+    """Superquadric analog of ``_sample_shape`` (same return contract)."""
+    P = len(template)
+    scale = np.stack([p["a"] for p in template])
+    areas = np.prod(scale, axis=1) ** (2 / 3) \
+        * np.array([1.0 + 2.0 * p.get("hole", 0.0) for p in template])
+    counts = np.maximum((n_points * areas / areas.sum()).astype(int), 16)
+    counts[-1] += n_points - counts.sum()
+    xyz, nrm, part = [], [], []
+    for p in range(P):
+        local, n_local = _sample_superquadric(rng, template[p], counts[p])
+        xyz.append(local @ template[p]["R"].T + template[p]["c"])
+        nrm.append(n_local @ template[p]["R"].T)
+        part.append(np.full(counts[p], p))
+    return (np.concatenate(xyz), np.concatenate(nrm),
+            np.concatenate(part))
+
+
 def make_primitive_shapenet(root, n_per_cat=40, n_points=2048, seed=0,
                             hard=False):
     """ShapeNet-Part-format tree of primitive-union shapes.
@@ -180,7 +302,7 @@ def make_primitive_acd(root, n_shapes=80, n_points=2048, seed=1,
     return root
 
 
-def _subset_template(rng, pool):
+def _subset_template(rng, pool, family="ellipsoid"):
     """Per-shape random part subset from a category pool + strong jitter
     (the hard-mode shape constructor, shared by labeled and ACD trees)."""
     pool_n = len(pool)
@@ -188,15 +310,18 @@ def _subset_template(rng, pool):
     if present.sum() < 2:
         present[rng.choice(pool_n, 2, replace=False)] = True
     sub_ids = np.flatnonzero(present)
-    tpl = [dict(r=pool[j]["r"] * rng.uniform(0.5, 1.6, 3),
-                c=pool[j]["c"] + rng.normal(scale=0.4, size=3),
-                R=pool[j]["R"] @ _rot_small(rng, 0.5))
-           for j in sub_ids]
+    if family == "superquadric":
+        tpl = [_sq_jitter(rng, pool[j]) for j in sub_ids]
+    else:
+        tpl = [dict(r=pool[j]["r"] * rng.uniform(0.5, 1.6, 3),
+                    c=pool[j]["c"] + rng.normal(scale=0.4, size=3),
+                    R=pool[j]["R"] @ _rot_small(rng, 0.5))
+               for j in sub_ids]
     return sub_ids, tpl
 
 
 def make_lift_benchmark(root, n_cats=8, n_per_cat=40, n_acd=2000,
-                        n_points=2048, seed=0):
+                        n_points=2048, seed=0, family="ellipsoid"):
     """Paper-proportioned benchmark: n_cats hard-mode categories + a large
     ACD tree drawn from the SAME category pools.
 
@@ -206,12 +331,19 @@ def make_lift_benchmark(root, n_cats=8, n_per_cat=40, n_acd=2000,
     (unlabeled .npy, component id = primitive instance).  Everything is
     deterministic given ``seed``; labeled and unlabeled shapes are drawn
     from independent rng streams (disjoint by construction).
+
+    ``family="superquadric"`` draws every part from the non-ellipsoid
+    pool (boxes/octahedroids/toroids/bent tubes) — the second accuracy
+    workload, where fitted ellipsoids are only lossy part summaries.
     """
     from prifit_tpu.data.shapenet import SEG_CLASSES
 
     names = LIFT_ORDER[:n_cats]
     rng_pool = np.random.default_rng(seed)
-    pools = {n: _template(rng_pool, len(SEG_CLASSES[n])) for n in names}
+    make_tpl = _sq_template if family == "superquadric" else _template
+    sample = _sample_shape_sq if family == "superquadric" \
+        else _sample_shape
+    pools = {n: make_tpl(rng_pool, len(SEG_CLASSES[n])) for n in names}
 
     # ---------------- labeled ShapeNet-Part tree
     sn_root = osp.join(root, "shapenet")
@@ -228,8 +360,8 @@ def make_lift_benchmark(root, n_cats=8, n_per_cat=40, n_acd=2000,
         os.makedirs(d, exist_ok=True)
         for i in range(n_per_cat):
             token = f"{name.lower()}{i:04d}"
-            sub_ids, tpl = _subset_template(rng_lab, pools[name])
-            xyz, nrm, part = _sample_shape(rng_lab, tpl, n_points)
+            sub_ids, tpl = _subset_template(rng_lab, pools[name], family)
+            xyz, nrm, part = sample(rng_lab, tpl, n_points)
             seg = sub_ids[part] + offset
             data = np.concatenate(
                 [xyz, nrm, seg[:, None]], axis=1).astype(np.float32)
@@ -249,8 +381,8 @@ def make_lift_benchmark(root, n_cats=8, n_per_cat=40, n_acd=2000,
     rng_acd = np.random.default_rng(seed + 2)
     for i in range(n_acd):
         name = names[int(rng_acd.integers(len(names)))]
-        _, tpl = _subset_template(rng_acd, pools[name])
-        xyz, _, part = _sample_shape(rng_acd, tpl, n_points)
+        _, tpl = _subset_template(rng_acd, pools[name], family)
+        xyz, _, part = sample(rng_acd, tpl, n_points)
         data = np.concatenate(
             [xyz, part[:, None]], axis=1).astype(np.float32)
         np.save(osp.join(d, f"acd{i:05d}.npy"), data)
@@ -265,6 +397,8 @@ if __name__ == "__main__":
     ap.add_argument("--hard", action="store_true")
     ap.add_argument("--lift", action="store_true",
                     help="paper-proportioned benchmark (make_lift_benchmark)")
+    ap.add_argument("--family", default="ellipsoid",
+                    choices=["ellipsoid", "superquadric"])
     ap.add_argument("--n_cats", type=int, default=8)
     ap.add_argument("--n_per_cat", type=int, default=40)
     ap.add_argument("--n_acd", type=int, default=2000)
@@ -273,7 +407,8 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.lift:
         make_lift_benchmark(a.out, n_cats=a.n_cats, n_per_cat=a.n_per_cat,
-                            n_acd=a.n_acd, n_points=a.n_points, seed=a.seed)
+                            n_acd=a.n_acd, n_points=a.n_points, seed=a.seed,
+                            family=a.family)
         print("lift benchmark written to", a.out)
     else:
         make_primitive_shapenet(osp.join(a.out, "shapenet"), hard=a.hard)
