@@ -120,13 +120,11 @@ def bf16_affine(x, a, c):
 
     XLA compiles bf16 ``x * a + c`` as an f32 FMA chain rounded ONCE on
     TPU (``--xla_allow_excess_precision``), but CPU XLA double-rounds
-    plain bf16 arithmetic, and the fused Pallas backward
-    (``ops/pallas/mixed_bwd.py``) recomputes in f32.  Writing the f32
-    form explicitly makes the forward, the jnp hand backward, and the
-    fused kernel agree bit for bit on EVERY backend (bf16 products are
-    exact in f32, so the only roundings are the f32 add and the final
-    cast) — the relu and max masks recomputed in the backward then
-    always match the forward's values, so max counts are never zero.
+    plain bf16 arithmetic.  Writing the f32 form explicitly makes the
+    forward and the hand backward agree bit for bit on EVERY backend
+    (bf16 products are exact in f32, so the only roundings are the f32
+    add and the final cast) — the relu masks recomputed in the backward
+    then always match the forward's values.
     """
     return (x.astype(jnp.float32) * a.astype(jnp.float32)
             + c.astype(jnp.float32)).astype(MXDT)
@@ -156,7 +154,7 @@ def _layer_fwd(xf, w, b, scale, bias):
     return y, (mean, var), (xf, w, res_bn)
 
 
-def _layer_bwd(res, g, sr_key=None, sr_out=True):
+def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None):
     """Exact transpose of ``_layer_fwd``.
 
     ``g``: [n, Fo] f32 (mx) or bf16 (mxsr).  Returns (dx [n, Fi],
@@ -168,9 +166,16 @@ def _layer_bwd(res, g, sr_key=None, sr_out=True):
     stochastically rounded to bf16 — the backward matmuls read/write
     bf16 (half the HBM bytes) while every reduction still accumulates
     f32.  ``sr_out=False`` keeps ``dx`` f32 (the region-exit cotangent).
+    ``max_ctx=(g_rows, out_bf, zsel)`` marks the K-max layer: the BN
+    backward runs in closed form (``_max_bwd_core``) and ``g`` is
+    ignored.
     """
     xf, w, res_bn = res
-    dz, (dscale, dbias) = _prebn_bwd(res_bn, g)            # [n, Fo] f32
+    if max_ctx is not None:
+        dz, (dscale, dbias) = _max_bwd_core(res_bn, *max_ctx,
+                                            sr_key=sr_key)
+    else:
+        dz, (dscale, dbias) = _prebn_bwd(res_bn, g)        # [n, Fo] f32
     if sr_key is not None:
         dz = sr_bf16(jax.random.fold_in(sr_key, 0), dz)
         # bf16-VALUED operands in dz's container dtype: a no-op for the
@@ -208,6 +213,40 @@ def _prebn_fwd(xf, scale, bias):
     y = jax.nn.relu(bf16_affine(xf, a, c))
     res = (xf, a, c, scale, mean, inv, jnp.asarray(n, jnp.float32))
     return y, (mean, var), res
+
+
+def _max_bwd_core(res_bn, g_rows, out_bf, zsel, sr_key):
+    """Closed-form BN+relu+K-max backward at ``[rows, F]`` granularity.
+
+    The K-max ties all share the stored residual value ``zsel`` EXACTLY
+    (the mask is ``z == zsel``), so the tied-position reductions
+    collapse: ``sum_k gb = gsm * cnt`` and ``sum_k gb * xhat =
+    gsm * cnt * xhat(zsel)``.  ``dbias``/``dscale`` therefore reduce
+    over ``[rows, F]`` (K-fold less traffic than the generic
+    ``[n, F]`` path) and ``dz`` is ONE elementwise pass over ``z`` —
+    no ``[rows, K, F]`` cotangent expansion is ever materialized
+    (profiled: the eq/where broadcasts + their re-reads were ~4 ms of
+    the mxsr sup step).  Returns (dz [n, F] f32, (dscale, dbias)).
+    """
+    z, a, c, scale, mean, inv, n = res_bn
+    rows, F = out_bf.shape
+    K = z.shape[0] // rows
+    zk = z.reshape(rows, K, F)
+    mask = zk == zsel[:, None, :]
+    cnt = jnp.sum(mask, axis=1).astype(jnp.float32)        # >= 1
+    g32 = jnp.where(out_bf > 0, g_rows.astype(jnp.float32), 0.0)
+    gsm = g32 / cnt
+    if sr_key is not None:
+        gsm = sr_bf16(jax.random.fold_in(sr_key, 255), gsm)
+    gsm32 = gsm.astype(jnp.float32)
+    xhat_sel = (zsel.astype(jnp.float32) - mean) * inv
+    dbias = jnp.sum(gsm32 * cnt, axis=0)
+    dscale = jnp.sum(gsm32 * cnt * xhat_sel, axis=0)
+    c1 = inv * scale * dbias / n                           # [F]
+    c2 = inv * inv * scale * dscale / n                    # [F]
+    dz = ((inv * scale) * jnp.where(mask, gsm32[:, None, :], 0.0)
+          - c1 - (zk.astype(jnp.float32) - mean) * c2)
+    return dz.reshape(-1, F), (dscale, dbias)
 
 
 def _prebn_bwd(res, g):
@@ -255,19 +294,32 @@ def _mx_impl(cfg, pre, params):
     out_dtype = MXDT if cfg[2] else jnp.float32
     if has_max:
         B, S, K = shape[0], shape[1], shape[2]
-        h = xf.reshape(B * S, K, xf.shape[-1])
-        out_bf = jnp.max(h, axis=1)
+        # max_K(relu(a*z + c)) computed IN z SPACE: relu∘affine is
+        # monotone per feature (direction = sign(a)), so the K-max of y
+        # equals the affine of max_K z (a > 0) or min_K z (a < 0) — and
+        # since round-to-bf16 is monotone too, this is BIT-EXACT equal
+        # to maxing the rounded per-element y.  The win is HBM traffic:
+        # the last layer's [n, F] y is never materialized (profiled
+        # ~1.8 ms at sa1: a 400 MB y write + a second 400 MB read by
+        # the reduce), and the backward selects on the stored z
+        # residual directly.
+        if not residuals:      # bare max region: nothing to select on
+            raise ValueError("mx_chain: has_max needs a BN or layer")
+        z_last, a_last, c_last = residuals[-1][2][:3] if chain \
+            else residuals[-1][:3]
+        zk = z_last.reshape(B * S, K, z_last.shape[-1]).astype(jnp.float32)
+        # one variadic reduce: max AND min in a single pass over z
+        # (two separate reduces each re-read the [n, F] residual —
+        # profiled 2 x 0.53 ms at sa1)
+        zmx, zmn = jax.lax.reduce(
+            (zk, zk), (jnp.float32(-jnp.inf), jnp.float32(jnp.inf)),
+            lambda a, b: (jnp.maximum(a[0], b[0]),
+                          jnp.minimum(a[1], b[1])), (1,))
+        zsel = jnp.where(a_last.astype(jnp.float32) > 0, zmx, zmn) \
+            .astype(MXDT)                                  # [rows, F]
+        out_bf = jax.nn.relu(bf16_affine(zsel, a_last, c_last))
         out = out_bf.astype(out_dtype).reshape(B, S, -1)
-        # h is the last layer's y — by default recomputed in the
-        # backward from that layer's stored pre-activation, so only the
-        # K-reduced max is saved.  PRIFIT_MXSR_SAVE_H=1 saves y itself
-        # (one more [n, F] bf16 residual write) so the backward's
-        # max-mask fusion doesn't carry the recompute — an A/B for the
-        # XLA fusion-planner behavior seen in the sa1 HLO diff.
-        if os.environ.get("PRIFIT_MXSR_SAVE_H", "0") == "1":
-            max_res = (out_bf, xf)
-        else:
-            max_res = (out_bf, None)
+        max_res = (out_bf, zsel)
     else:
         out = xf.astype(out_dtype).reshape(*shape[:-1], xf.shape[-1])
         max_res = None
@@ -302,26 +354,17 @@ def _mx_chain(cfg, pre, params, key):
 
 def _mx_fwd(cfg, pre, params, key):
     out, stats, res = _mx_impl(cfg, pre, params)
+    # A/B knob (default OFF — measured a ~1 ms LOSS on the sup step):
+    # barrier the saved residuals so the backward's f32 recasts cannot
+    # CSE with the forward's f32 stats cast.  The profiled 3 ms of
+    # f32[n,F] residual copies (mixed.py:131 in dot layouts) turned out
+    # to be XLA sharing work, not waste.
+    if os.environ.get("PRIFIT_MX_BARRIER", "0") == "1":
+        residuals, max_res, shape = res
+        residuals, max_res = jax.lax.optimization_barrier(
+            (residuals, max_res))
+        res = (residuals, max_res, shape)
     return (out, stats), (res, params, key)
-
-
-def _mxsr_kernel_mode():
-    """Fused Pallas layer-backward gate (``ops/pallas/mixed_bwd.py``).
-
-    ``auto`` (default) resolves to OFF — a measured decision: on chip
-    the fused kernels LOSE to the jnp hand backward (sup step 70.6 vs
-    63.0 ms, 2026-08-19 A/B), the two-pass stats+apply structure paying
-    more in small-dot MXU inefficiency than it saves in avoided dz/gh
-    materialization.  ``PRIFIT_MXSR_KERNEL=on`` forces the kernels on
-    TPU for layers whose shapes pass the per-layer VMEM gates (A/B);
-    ``interpret`` forces them in Pallas interpreter mode on any backend
-    (tests); ``off`` is explicit."""
-    m = os.environ.get("PRIFIT_MXSR_KERNEL", "auto")
-    if m == "interpret":
-        return "interpret"
-    if m == "on" and jax.default_backend() == "tpu":
-        return "on"
-    return "off"
 
 
 def _mx_bwd(cfg, saved, cots):
@@ -331,54 +374,16 @@ def _mx_bwd(cfg, saved, cots):
     g_out, _ = cots          # stats feed stop_gradient'd updates only
     layers = residuals[1 if has_pre_bn else 0:]
     n_layers = len(layers)
-    kmode = _mxsr_kernel_mode() if sr else "off"
-    use_kernel = kmode != "off"
-    interp = kmode == "interpret"
     d_chain = []
-    start_j = 0
-    if has_max and use_kernel and n_layers:
-        from prifit_tpu.ops.pallas.mixed_bwd import (
-            layer_bwd_max_pallas,
-            supports_layer_bwd_max,
-        )
-        out_bf, _ = max_res
-        rows, F = out_bf.shape
-        last = layers[-1]
-        n_flat, Fi = last[0].shape
-        if supports_layer_bwd_max(rows, n_flat // rows, Fi, F):
-            at_exit = (n_layers == 1) and not has_pre_bn
-            g, grads = layer_bwd_max_pallas(
-                last, g_out.reshape(rows, F), out_bf, key,
-                jax.random.fold_in(key, 0),
-                sr_out=(not at_exit) or exit_bf16, interpret=interp)
-            d_chain.append(grads)
-            start_j = 1
-    if start_j == 0 and has_max:
-        out_bf, h_saved = max_res
-        if h_saved is not None:
-            h_flat = h_saved
-        else:
-            # recompute the last layer's y (= h) from its stored
-            # residuals: a _layer res is (xf, w, res_bn), a _prebn res
-            # is the bn tuple
-            last = residuals[-1][2] if chain else residuals[-1]
-            zl, al, cl = last[0], last[1], last[2]
-            h_flat = jax.nn.relu(bf16_affine(zl, al, cl))  # [n, F] bf16
-        rows, F = out_bf.shape
-        h = h_flat.reshape(rows, h_flat.shape[0] // rows, F)
-        mask = (h == out_bf[:, None, :])
-        cnt = jnp.sum(mask, axis=1)                        # [rows, F]
-        # divide (and SR) at the SMALL [rows, F] shape, expand in the
-        # cotangent dtype: the earlier expand-then-divide form
-        # materialized a [rows, K, F] f32 broadcast (1.3 GB at sa1
-        # scale-3 — visible as broadcast.389 in the optimized HLO)
-        gsm = g_out.reshape(rows, F).astype(jnp.float32) / cnt
-        if sr:
-            gsm = sr_bf16(jax.random.fold_in(key, 255), gsm)
-        gh = jnp.where(mask, gsm[:, None, :],
-                       jnp.zeros((), gsm.dtype))
-        g = gh.reshape(-1, F)
-    elif start_j == 0:
+    max_ctx = None
+    g = None
+    if has_max:
+        # select on the stored z residual: zsel/out_bf came from z via
+        # the monotone affine (see _mx_impl); the K-max backward runs
+        # in closed form inside the last layer (``_max_bwd_core``)
+        out_bf, zsel = max_res
+        max_ctx = (g_out.reshape(out_bf.shape), out_bf, zsel)
+    else:
         g = g_out.reshape(-1, g_out.shape[-1]).astype(jnp.float32)
         if sr:
             g = sr_bf16(jax.random.fold_in(key, 255), g)
@@ -388,30 +393,22 @@ def _mx_bwd(cfg, saved, cots):
     # largest single tensor in the stage backward, and the exact-gather
     # backward upstream accumulates it at HIGHEST either way
     for j, res in enumerate(reversed(layers)):
-        if j < start_j:
-            continue
         at_exit = (j == n_layers - 1) and not has_pre_bn
         sr_out_j = (not at_exit) or exit_bf16
-        if use_kernel and g.dtype == MXDT:
-            from prifit_tpu.ops.pallas.mixed_bwd import (
-                layer_bwd_pallas,
-                supports_layer_bwd,
-            )
-            if supports_layer_bwd(res[0].shape[0], res[0].shape[1],
-                                  res[2][0].shape[-1]):
-                g, grads = layer_bwd_pallas(
-                    res, g, jax.random.fold_in(key, j), sr_out=sr_out_j,
-                    interpret=interp)
-                d_chain.append(grads)
-                continue
         g, grads = _layer_bwd(
             res, g,
             sr_key=jax.random.fold_in(key, j) if sr else None,
-            sr_out=sr_out_j)
+            sr_out=sr_out_j, max_ctx=max_ctx if j == 0 else None)
         d_chain.append(grads)
     d_chain.reverse()
     if has_pre_bn:
-        g, d_pre_bn = _prebn_bwd(residuals[0], g)
+        if has_max and not layers:
+            # max directly over the pre-BN output: closed form, dz = dx
+            g, d_pre_bn = _max_bwd_core(
+                residuals[0], *max_ctx,
+                sr_key=jax.random.fold_in(key, 254) if sr else None)
+        else:
+            g, d_pre_bn = _prebn_bwd(residuals[0], g)
         if sr and exit_bf16:
             g = sr_bf16(jax.random.fold_in(key, 254), g)
     else:

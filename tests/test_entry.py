@@ -6,6 +6,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier
+
 sys.path.insert(0, "/root/repo")
 
 

@@ -36,8 +36,11 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference checkout not mounted")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference checkout not mounted"),
+    pytest.mark.slow,  # heavy e2e tier
+]
 
 if os.path.isdir(REF):
     if REF not in sys.path:

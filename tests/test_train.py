@@ -301,6 +301,7 @@ class TestEval:
                 (k, plain[k], sharded[k])
 
 
+@pytest.mark.slow
 class TestEndToEndCLI:
     def test_tiny_training_run(self, tmp_path):
         """Full trainer on fixtures: supervised + selfsup, 1 epoch."""
@@ -389,6 +390,7 @@ class TestFusedAugment:
         assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 class TestPretrainAndTestingCLI:
     def test_pretrain_cli(self, tmp_path):
         from prifit_tpu.cli.args_parser import parse_args
@@ -496,6 +498,7 @@ class TestPretrainAndTestingCLI:
         assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
 
 
+@pytest.mark.slow
 class TestInitClass:
     def test_conv2_reinit_runs_and_only_touches_conv2(self, tmp_path):
         from prifit_tpu.cli.args_parser import parse_args
@@ -525,6 +528,7 @@ class TestInitClass:
             before["conv1"]["kernel"], np.asarray(after["conv1"]["kernel"]))
 
 
+@pytest.mark.slow
 class TestLearning:
     def test_overfits_single_batch(self):
         """30 steps on one batch must push accuracy way above chance —
@@ -549,6 +553,7 @@ class TestLearning:
         assert accs[-1] > 0.9, f"did not overfit: {accs[-5:]}"
 
 
+@pytest.mark.slow
 class TestContrastivePath:
     def test_contrastive_training_cli(self, tmp_path):
         """The original ACD contrastive objective end-to-end."""
@@ -571,6 +576,7 @@ class TestContrastivePath:
         assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
 
 
+@pytest.mark.slow
 class TestDummySelfSupPath:
     def test_dummy_dataset_convex_training(self, tmp_path):
         """--ss_dataset dummy yields 3-tuples; the convex branch must use
@@ -672,6 +678,7 @@ class TestStageDtypes:
         assert np.isfinite(gsum) and gsum > 0
 
 
+@pytest.mark.slow
 class TestBf16Encoder:
     def test_overfits_single_batch_bf16(self):
         """Forced bf16 encoder compute (the TPU default, CLAUDE.md perf
@@ -738,6 +745,7 @@ class TestBf16Encoder:
         np.testing.assert_allclose(p16, p32, atol=0.05)
 
 
+@pytest.mark.slow
 class TestTrainerDeterminism:
     def test_two_runs_identical(self, tmp_path):
         """Two identical CLI runs produce identical metrics — worker
