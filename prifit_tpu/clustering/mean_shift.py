@@ -170,7 +170,12 @@ def mean_shift_iterations(X: jax.Array, bandwidth: jax.Array,
 
         if supports_pallas(N, D_):
             # fused flash-style kernel: no [N, N] HBM traffic in either
-            # direction; custom VJP with the same tiled structure
+            # direction; custom VJP with the same tiled structure.
+            # (Folding the renormalization into the kernel epilogue was
+            # tried and measured SLOWER — fwd+grad 16.8 -> 18.0 ms at
+            # the bench shapes — XLA fuses these elementwise passes with
+            # the scan residual traffic better than the kernel prologue
+            # can.)
             def pallas_step(new_X, _):
                 m = mean_shift_step_pallas(new_X, X, b2)
                 m = m / jnp.linalg.norm(m, axis=1, keepdims=True)
@@ -246,8 +251,29 @@ def mean_shift_eff_iterations(X: jax.Array, seeds: jax.Array,
     return out
 
 
+def _nms_tail(counts, is_center, used, N, K):
+    """Slot selection from the three NMS reductions (shared by the jnp
+    and Pallas paths; all inputs are [N] vectors — negligible work)."""
+    n_selected = jnp.sum(is_center).astype(jnp.int32)
+    n_distinct = jnp.sum(used & is_center).astype(jnp.int32)
+    # rank candidates: keep the K largest elected counts, then order the
+    # kept ones by ascending mode id (matches np.unique order when <= K)
+    elected_count = jnp.where(is_center, counts, -1.0)
+    _, keep_ids = jax.lax.top_k(elected_count, K)          # by count desc
+    keep_valid = jnp.take(is_center, keep_ids) & (
+        jnp.arange(K) < jnp.minimum(n_selected, K))
+    # ascending id order among kept slots; invalid slots pushed to the end
+    sort_key = jnp.where(keep_valid, keep_ids, N + 1)
+    order = jnp.argsort(sort_key)
+    center_ids = jnp.take(keep_ids, order)
+    valid = jnp.take(keep_valid, order)
+    center_ids = jnp.where(valid, center_ids, 0)
+    return center_ids.astype(jnp.int32), valid, n_distinct
+
+
 def nms_fixed_slots(modes: jax.Array, bandwidth: jax.Array,
-                    max_num_clusters: int):
+                    max_num_clusters: int,
+                    use_pallas: bool | None = None):
     """Non-max suppression of converged modes into fixed cluster slots.
 
     Reference semantics (``src/mean_shift.py:162-202``) with the host-side
@@ -276,6 +302,22 @@ def nms_fixed_slots(modes: jax.Array, bandwidth: jax.Array,
     N = modes.shape[0]
     K = max_num_clusters
 
+    if use_pallas is None:
+        use_pallas = True
+    if use_pallas and jax.default_backend() == "tpu":
+        from prifit_tpu.ops.pallas.nms import (
+            nms_passes_pallas,
+            supports_nms_pallas,
+        )
+
+        if supports_nms_pallas(N, modes.shape[1]):
+            # the three distance-dependent reductions recompute their
+            # distance tiles in VMEM — no [N, N] matrix in HBM (the jnp
+            # path below writes it once and reads it three times)
+            counts, is_center, used = nms_passes_pallas(
+                jax.lax.stop_gradient(modes), bandwidth)
+            return _nms_tail(counts, is_center, used, N, K)
+
     # All reductions run on the LANE axis of the (bitwise-symmetric)
     # distance matrix, and the three scatters of the natural formulation
     # (count add, center max, used set) are [N, N] compare-reduces against
@@ -295,7 +337,6 @@ def nms_fixed_slots(modes: jax.Array, bandwidth: jax.Array,
     # distinct representatives elected by occupied modes
     is_center = jnp.any((rep[:, None] == iota[None, :]) &
                         occupied[:, None], axis=0)
-    n_selected = jnp.sum(is_center).astype(jnp.int32)
 
     # the reference's retry condition counts DISTINCT LABELS over the full
     # (untruncated) center set: labels = nearest selected center per mode
@@ -303,21 +344,7 @@ def nms_fixed_slots(modes: jax.Array, bandwidth: jax.Array,
     dist_masked = jnp.where(is_center[None, :], dist_mm, jnp.inf)
     label_full = jnp.argmin(dist_masked, axis=-1)         # [N] mode ids
     used = jnp.any(label_full[:, None] == iota[None, :], axis=0)
-    n_distinct = jnp.sum(used & is_center).astype(jnp.int32)
-
-    # rank candidates: keep the K largest elected counts, then order the
-    # kept ones by ascending mode id (matches np.unique order when <= K)
-    elected_count = jnp.where(is_center, counts, -1.0)
-    _, keep_ids = jax.lax.top_k(elected_count, K)          # by count desc
-    keep_valid = jnp.take(is_center, keep_ids) & (
-        jnp.arange(K) < jnp.minimum(n_selected, K))
-    # ascending id order among kept slots; invalid slots pushed to the end
-    sort_key = jnp.where(keep_valid, keep_ids, N + 1)
-    order = jnp.argsort(sort_key)
-    center_ids = jnp.take(keep_ids, order)
-    valid = jnp.take(keep_valid, order)
-    center_ids = jnp.where(valid, center_ids, 0)
-    return center_ids.astype(jnp.int32), valid, n_distinct
+    return _nms_tail(counts, is_center, used, N, K)
 
 
 def membership(centers: jax.Array, valid: jax.Array, X: jax.Array,
@@ -440,7 +467,7 @@ def cluster_batch(X: jax.Array, *, quantile: float = 0.01,
         modes = mean_shift_iterations(x, bw, iterations, kernel_type,
                                       use_pallas=use_pallas)
         center_ids, valid, n_distinct = nms_fixed_slots(
-            modes, bw, max_num_clusters)
+            modes, bw, max_num_clusters, use_pallas=use_pallas)
         centers = jnp.take(modes, center_ids, axis=0) * valid[:, None]
         sim = jnp.matmul(centers, modes.T,
                          preferred_element_type=jnp.float32)

@@ -15,7 +15,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from prifit_tpu.ops.pairwise import square_distance
 from prifit_tpu.ops.sampling import index_points_onehot
 
 _CHUNK = 1024
@@ -43,11 +42,21 @@ def _nn_idx_chunked(src: jax.Array, dst: jax.Array,
     big = jnp.float32(1e10)
 
     def one(s):
-        # HIGHEST: at C=3 the inner-product matmul is ~2% of the chamfer
-        # cost, and f32 operands make the argmin selection exact (bf16
-        # input rounding flips near-tie neighbors at ~1e-2 x scale —
-        # caught by an on-chip drive against an exact-NN oracle)
-        d = square_distance(s, dst, precision=jax.lax.Precision.HIGHEST)
+        # Explicit difference form, NOT the expanded matmul
+        # (square_distance): a dot's output always lands in HBM, so the
+        # matmul form materialized the [chunk, M] distance matrix
+        # (1.26 GB at [24, 6400, 2048]), while this broadcast chain
+        # fuses INTO the argmin reduce and nothing [chunk, M] ever
+        # leaves registers.  At C=3 the MXU contraction was worthless
+        # anyway, and the difference form is exact in f32 (no
+        # cancellation: it's the form the value recompute below uses).
+        # Per-coordinate accumulation keeps every intermediate in the
+        # [chunk, M] lane layout — a [chunk, M, 3] diff tensor would put
+        # the size-3 axis on the 128-wide lane dimension.
+        d = None
+        for c in range(s.shape[-1]):
+            diff = s[:, c:c + 1] - dst[None, :, c]
+            d = diff * diff if d is None else d + diff * diff
         if dst_mask is not None:
             d = jnp.where(dst_mask[None, :], d, big)
         return jnp.argmin(d, axis=-1).astype(jnp.int32)

@@ -26,10 +26,17 @@ _ITERS = 24
 
 def _bw_kernel(q_ref, x_ref, out_ref, *, Ks):
     # q_ref: [T, D] row tile; x_ref: [N, D]; out_ref: [T, C] kth values
-    q = q_ref[:]
-    sim = jnp.dot(q, x_ref[:].T, preferred_element_type=jnp.float32)
+    # bf16 matmul operands: matches what the jnp fallback's
+    # default-precision matmul does on TPU anyway (an f32 matmul in
+    # Mosaic is multi-pass and was ~1 ms of the 2 ms kernel)
+    q = q_ref[:].astype(jnp.bfloat16)
+    xb = x_ref[:].astype(jnp.bfloat16)
+    sim = jnp.dot(q, xb.T, preferred_element_type=jnp.float32)
     dist = 2.0 - 2.0 * sim                                  # [T, N]
     T = dist.shape[0]
+    # counting stays on the VPU: an MXU dot-with-ones count was tried
+    # and measured 2x SLOWER (a [T, N] x [N, 1] matvec per bisect pass
+    # uses 1/128 of the MXU output lanes)
 
     for c, K in enumerate(Ks):
         def body(_, carry):

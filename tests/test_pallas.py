@@ -73,7 +73,13 @@ class TestPallasBandwidth:
 
         X = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
         X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
-        ref = _kth_smallest_bisect(_chordal_sqdist(X, X), [13, 26])
+        # the kernel's matmul takes bf16 operands — the same rounding the
+        # jnp fallback's default-precision matmul applies on TPU; the CPU
+        # oracle must round explicitly to compare at tight tolerance
+        Xb = X.astype(jnp.bfloat16)
+        dist = 2.0 - 2.0 * jnp.matmul(Xb, Xb.T,
+                                      preferred_element_type=jnp.float32)
+        ref = _kth_smallest_bisect(dist, [13, 26])
         got = kth_nn_distance_pallas(X, (13, 26), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
@@ -128,3 +134,52 @@ class TestPallasGather:
             lambda p: jnp.sum(index_points(p, idx) ** 2))(pts)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-4)
+
+
+class TestPallasNMS:
+    def _oracle(self, modes, bw, K):
+        """jnp NMS passes on a bf16-rounded distance matrix — the same
+        operand rounding the kernel's (and TPU XLA's default-precision)
+        matmul applies."""
+        mb = modes.astype(jnp.bfloat16)
+        dist = 2.0 - 2.0 * jnp.matmul(mb, mb.T,
+                                      preferred_element_type=jnp.float32)
+        N = modes.shape[0]
+        iota = jnp.arange(N)
+        assign = jnp.argmin(dist, axis=-1)
+        counts = jnp.sum((assign[:, None] == iota[None, :])
+                         .astype(jnp.float32), axis=0)
+        occupied = counts > 0
+        nbrs = (dist < bw).astype(jnp.float32)
+        rep = jnp.argmax(nbrs * counts[None, :], axis=1)
+        is_center = jnp.any((rep[:, None] == iota[None, :]) &
+                            occupied[:, None], axis=0)
+        masked = jnp.where(is_center[None, :], dist, jnp.inf)
+        label = jnp.argmin(masked, axis=-1)
+        used = jnp.any(label[:, None] == iota[None, :], axis=0)
+        return counts, is_center, used
+
+    def test_passes_match_jnp(self, rng):
+        from prifit_tpu.ops.pallas.nms import nms_passes_pallas
+
+        N, D = 256, 128
+        # clustered modes: k well-separated anchors + tiny jitter, like
+        # converged mean-shift output
+        anchors = rng.normal(size=(7, D))
+        pts = anchors[rng.integers(0, 7, N)] + 1e-4 * rng.normal(
+            size=(N, D))
+        modes = jnp.asarray(pts, jnp.float32)
+        modes = modes / jnp.linalg.norm(modes, axis=1, keepdims=True)
+        bw = jnp.float32(0.35)
+        counts, is_center, used = nms_passes_pallas(modes, bw,
+                                                    interpret=True)
+        rc, ric, ru = self._oracle(modes, bw, 25)
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(rc))
+        np.testing.assert_array_equal(np.asarray(is_center),
+                                      np.asarray(ric))
+        np.testing.assert_array_equal(np.asarray(used), np.asarray(ru))
+
+    def test_supports_gate(self):
+        from prifit_tpu.ops.pallas.nms import supports_nms_pallas
+        assert supports_nms_pallas(2048, 128)
+        assert not supports_nms_pallas(100, 128)
