@@ -115,8 +115,9 @@ def sr_bf16(key, x):
     return jax.lax.bitcast_convert_type(y, jnp.float32).astype(MXDT)
 
 
-def bf16_affine(x, a, c):
-    """Single-rounded bf16 ``x * a + c`` — the canonical BN-affine value.
+def bf16_affine(x, a, c, sdt=MXDT):
+    """Single-rounded ``x * a + c`` in storage dtype — the canonical
+    BN-affine value.
 
     XLA compiles bf16 ``x * a + c`` as an f32 FMA chain rounded ONCE on
     TPU (``--xla_allow_excess_precision``), but CPU XLA double-rounds
@@ -124,15 +125,16 @@ def bf16_affine(x, a, c):
     forward and the hand backward agree bit for bit on EVERY backend
     (bf16 products are exact in f32, so the only roundings are the f32
     add and the final cast) — the relu masks recomputed in the backward
-    then always match the forward's values.
+    then always match the forward's values.  ``sdt=jnp.float32`` (the
+    f32-storage region) makes the casts no-ops.
     """
     return (x.astype(jnp.float32) * a.astype(jnp.float32)
-            + c.astype(jnp.float32)).astype(MXDT)
+            + c.astype(jnp.float32)).astype(sdt)
 
 
 # ---------------------------------------------------------------- layers
 
-def _layer_fwd(xf, w, b, scale, bias):
+def _layer_fwd(xf, w, b, scale, bias, sdt=MXDT):
     """One dense+BN+relu layer on bf16 storage (explicit-BN form).
 
     ``xf``: [n, Fi] bf16.  Returns (y [n, Fo] bf16, (mean, var) for the
@@ -146,15 +148,16 @@ def _layer_fwd(xf, w, b, scale, bias):
     transpose dwarf the dense itself at wide-input layers (FP stages,
     Fi ~ 1.3k) — so stats come from one reduction over the [n, Fo]
     pre-activation this layer materializes anyway."""
-    z = jax.lax.dot_general(xf, w.astype(MXDT),
+    z = jax.lax.dot_general(xf, w.astype(sdt),
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=MXDT)
-    y, (mean_z, var), res_bn = _prebn_fwd(z, scale, bias)
+                            preferred_element_type=sdt)
+    y, (mean_z, var), res_bn = _prebn_fwd(z, scale, bias, sdt)
     mean = mean_z + b.astype(jnp.float32)
     return y, (mean, var), (xf, w, res_bn)
 
 
-def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None):
+def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None,
+               sdt=MXDT):
     """Exact transpose of ``_layer_fwd``.
 
     ``g``: [n, Fo] f32 (mx) or bf16 (mxsr).  Returns (dx [n, Fi],
@@ -175,7 +178,7 @@ def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None):
         dz, (dscale, dbias) = _max_bwd_core(res_bn, *max_ctx,
                                             sr_key=sr_key)
     else:
-        dz, (dscale, dbias) = _prebn_bwd(res_bn, g)        # [n, Fo] f32
+        dz, (dscale, dbias) = _prebn_bwd(res_bn, g, sdt)   # [n, Fo] f32
     if sr_key is not None:
         dz = sr_bf16(jax.random.fold_in(sr_key, 0), dz)
         # bf16-VALUED operands in dz's container dtype: a no-op for the
@@ -184,7 +187,7 @@ def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None):
         # the SR backward — the backward is linear in cotangents, so
         # E[grads] is the same graph with every sr cast removed
         x_in = xf.astype(dz.dtype)
-        w_in = w.astype(MXDT).astype(dz.dtype)
+        w_in = w.astype(sdt).astype(dz.dtype)
     else:
         x_in, w_in = xf.astype(jnp.float32), w.astype(jnp.float32)
     dx = jax.lax.dot_general(dz, w_in, (((1,), (1,)), ((), ())),
@@ -196,7 +199,7 @@ def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None):
     return dx, (dw, jnp.zeros(w.shape[1], jnp.float32), dscale, dbias)
 
 
-def _prebn_fwd(xf, scale, bias):
+def _prebn_fwd(xf, scale, bias, sdt=MXDT):
     """BN+relu on an externally-computed pre-activation (the grouped
     first layer's affine output).  ``xf``: [n, F] bf16.
 
@@ -208,9 +211,9 @@ def _prebn_fwd(xf, scale, bias):
     mean = jnp.mean(x32m, axis=0)
     var = jnp.maximum(jnp.mean(x32m ** 2, axis=0) - mean ** 2, 0.0)
     inv = jax.lax.rsqrt(var + _EPS)
-    a = (scale * inv).astype(MXDT)
-    c = (bias - mean * scale * inv).astype(MXDT)
-    y = jax.nn.relu(bf16_affine(xf, a, c))
+    a = (scale * inv).astype(sdt)
+    c = (bias - mean * scale * inv).astype(sdt)
+    y = jax.nn.relu(bf16_affine(xf, a, c, sdt))
     res = (xf, a, c, scale, mean, inv, jnp.asarray(n, jnp.float32))
     return y, (mean, var), res
 
@@ -249,14 +252,14 @@ def _max_bwd_core(res_bn, g_rows, out_bf, zsel, sr_key):
     return dz.reshape(-1, F), (dscale, dbias)
 
 
-def _prebn_bwd(res, g):
+def _prebn_bwd(res, g, sdt=MXDT):
     """Standard BN backward, f32 cotangent out, bf16 residuals.
 
     ``g`` may arrive bf16 (mxsr): every reduction and the returned ``dx``
     are f32 regardless (the casts live inside the fusion — registers,
     not HBM)."""
     xf, a, c, scale, mean, inv, n = res
-    y = bf16_affine(xf, a, c)            # recompute relu sign, bf16
+    y = bf16_affine(xf, a, c, sdt)       # recompute relu sign
     gb = jnp.where(y > 0, g, 0).astype(jnp.float32)
     xhat = (xf.astype(jnp.float32) - mean) * inv
     dbias = jnp.sum(gb, axis=0)
@@ -269,18 +272,22 @@ def _prebn_bwd(res, g):
 
 # ---------------------------------------------------------------- region
 
+_SDTS = {"bf16": jnp.bfloat16, "f32": jnp.float32}
+
+
 def _mx_impl(cfg, pre, params):
     has_pre_bn, has_max = cfg[0], cfg[1]
+    sdt = _SDTS[cfg[4]]
     pre_bn, chain = params
     shape = pre.shape
-    xf = pre.astype(MXDT).reshape(-1, shape[-1])
+    xf = pre.astype(sdt).reshape(-1, shape[-1])
     stats, residuals = [], []
     if has_pre_bn:
-        xf, st, res = _prebn_fwd(xf, *pre_bn)
+        xf, st, res = _prebn_fwd(xf, *pre_bn, sdt)
         stats.append(st)
         residuals.append(res)
     for layer in chain:
-        xf, st, res = _layer_fwd(xf, *layer)
+        xf, st, res = _layer_fwd(xf, *layer, sdt)
         stats.append(st)
         residuals.append(res)
     # sr (mxsr) regions return bf16 stage outputs so the inter-stage
@@ -291,7 +298,7 @@ def _mx_impl(cfg, pre, params):
     # seam cotangent rounding this implies was isolated as benign by
     # the bisection's single-stage bf16 variants (STATUS.md).  mx keeps
     # f32 outputs (its contract is f32 cotangents everywhere).
-    out_dtype = MXDT if cfg[2] else jnp.float32
+    out_dtype = sdt if (cfg[2] or cfg[3]) else jnp.float32
     if has_max:
         B, S, K = shape[0], shape[1], shape[2]
         # max_K(relu(a*z + c)) computed IN z SPACE: relu∘affine is
@@ -316,8 +323,8 @@ def _mx_impl(cfg, pre, params):
             lambda a, b: (jnp.maximum(a[0], b[0]),
                           jnp.minimum(a[1], b[1])), (1,))
         zsel = jnp.where(a_last.astype(jnp.float32) > 0, zmx, zmn) \
-            .astype(MXDT)                                  # [rows, F]
-        out_bf = jax.nn.relu(bf16_affine(zsel, a_last, c_last))
+            .astype(sdt)                                   # [rows, F]
+        out_bf = jax.nn.relu(bf16_affine(zsel, a_last, c_last, sdt))
         out = out_bf.astype(out_dtype).reshape(B, S, -1)
         max_res = (out_bf, zsel)
     else:
@@ -326,23 +333,31 @@ def _mx_impl(cfg, pre, params):
     return out, tuple(stats), (residuals, max_res, shape)
 
 
-def mx_chain(cfg, pre, params, key=None):
-    """bf16-forward chain region (f32 or SR-bf16 cotangents).
+def mx_chain(cfg, pre, params, key=None, storage=MXDT):
+    """Storage-dtype chain region with a hand-derived backward.
 
-    ``cfg = (has_pre_bn, has_max[, sr])`` static; ``pre`` the f32 stage
+    ``cfg = (has_pre_bn, has_max[, sr])`` static; ``pre`` the stage
     input ([B, S, K, F] grouped pre-activation for SA scales, [B, N, F]
     features for FP); ``params = (pre_bn | None, ((w, b, scale, bias),
-    ...))``; ``key`` the SR rng (required when ``sr``).  Returns
-    (out f32, per-BN (mean, var) stats)."""
+    ...))``; ``key`` the SR rng (required when ``sr``).  ``storage``:
+    ``jnp.bfloat16`` (the mx/mxsr modes) or ``jnp.float32`` (the
+    closed-form K-max region on the default f32 path — same math as the
+    autodiff chain, but the max backward never materializes a
+    [rows, K, F] cotangent expansion).  Returns (out, per-BN
+    (mean, var) stats)."""
     if len(cfg) == 2:
         cfg = (*cfg, False)
     if key is None:
         if cfg[2]:
             raise ValueError("mx_chain: sr mode needs an rng key")
         key = jnp.zeros((2,), jnp.uint32)
-    # static 4th element: bf16 pre -> bf16 region-exit cotangent
-    # (stochastically rounded in sr mode, deterministically otherwise)
-    cfg = (*cfg, pre.dtype == MXDT)
+    if cfg[2] and storage != MXDT:
+        raise ValueError("mx_chain: sr implies bf16 storage")
+    # static 4th element: low-precision pre -> low-precision region-exit
+    # cotangent (stochastically rounded in sr mode, deterministically
+    # otherwise); 5th: storage dtype name
+    exit_low = storage != jnp.float32 and pre.dtype == storage
+    cfg = (*cfg, exit_low, "f32" if storage == jnp.float32 else "bf16")
     return _mx_chain(cfg, pre, params, key)
 
 
@@ -368,7 +383,8 @@ def _mx_fwd(cfg, pre, params, key):
 
 
 def _mx_bwd(cfg, saved, cots):
-    has_pre_bn, has_max, sr, exit_bf16 = cfg
+    has_pre_bn, has_max, sr, exit_low = cfg[:4]
+    sdt = _SDTS[cfg[4]]
     (residuals, max_res, shape), params, key = saved
     pre_bn, chain = params
     g_out, _ = cots          # stats feed stop_gradient'd updates only
@@ -388,17 +404,18 @@ def _mx_bwd(cfg, saved, cots):
         if sr:
             g = sr_bf16(jax.random.fold_in(key, 255), g)
 
-    # exit_bf16 (bf16 pre, mxsr boundary mode): the region-exit
+    # exit_low (bf16 pre, mxsr boundary mode): the region-exit
     # cotangent is SR'd to bf16 too — the [B, S, K, F] dpre is the
     # largest single tensor in the stage backward, and the exact-gather
     # backward upstream accumulates it at HIGHEST either way
     for j, res in enumerate(reversed(layers)):
         at_exit = (j == n_layers - 1) and not has_pre_bn
-        sr_out_j = (not at_exit) or exit_bf16
+        sr_out_j = (not at_exit) or exit_low
         g, grads = _layer_bwd(
             res, g,
             sr_key=jax.random.fold_in(key, j) if sr else None,
-            sr_out=sr_out_j, max_ctx=max_ctx if j == 0 else None)
+            sr_out=sr_out_j, max_ctx=max_ctx if j == 0 else None,
+            sdt=sdt)
         d_chain.append(grads)
     d_chain.reverse()
     if has_pre_bn:
@@ -408,12 +425,12 @@ def _mx_bwd(cfg, saved, cots):
                 residuals[0], *max_ctx,
                 sr_key=jax.random.fold_in(key, 254) if sr else None)
         else:
-            g, d_pre_bn = _prebn_bwd(residuals[0], g)
-        if sr and exit_bf16:
+            g, d_pre_bn = _prebn_bwd(residuals[0], g, sdt)
+        if sr and exit_low:
             g = sr_bf16(jax.random.fold_in(key, 254), g)
     else:
         d_pre_bn = None
-    dpre = g.astype(MXDT if exit_bf16 else jnp.float32).reshape(shape)
+    dpre = g.astype(sdt if exit_low else jnp.float32).reshape(shape)
     return (dpre, (d_pre_bn, tuple(d_chain)),
             np.zeros(np.shape(key), jax.dtypes.float0))
 

@@ -358,6 +358,46 @@ class PointMLP(nn.Module):
                                           bn_momentum, dt)
         return x
 
+    def call_max(self, x, train: bool, bn_momentum=0.1):
+        """``[..., K, Fi] -> [..., Fo]``: the chain with its LAST layer
+        and the K-max (axis -2) fused into the closed-form custom-VJP
+        region (``nn/mixed.py::_max_bwd_core``).
+
+        OPT-IN A/B (``PRIFIT_MAX_REGION=on``), measured a LOSS and
+        default-off: the closed-form region that wins inside the mxsr
+        whole-chain region LOSES as a standalone f32 last-layer region —
+        XLA materializes the [rows, K, F] gsm/zsel broadcasts when the
+        dz fusion is consumed flat (f32 sup step 59.9 -> 76.0 ms; an
+        optimization-barrier'd 3-D variant recovered only to 63.5, and
+        the same 3-D restructure regressed mxsr 58.9 -> 65.5, so the
+        shipped ``_max_bwd_core`` keeps the flat form the mxsr region
+        fuses well).  Default path: ``max(self(x), axis=-2)`` autodiff,
+        which XLA fuses competitively at every storage dtype."""
+        region_ok = (
+            train and self.axis_name is None and self.dtype != FQ
+            and os.environ.get("PRIFIT_FOLDED_BN", "0") != "1"
+            and os.environ.get("PRIFIT_REMAT_MLP", "0") != "1"
+            and os.environ.get("PRIFIT_MAX_REGION", "off") == "on")
+        if not region_ok:
+            return jnp.max(self(x, train, bn_momentum), axis=-2)
+        dt = _run_dtype(self, train)
+        n_l = len(self.features)
+        for i in range(n_l - 1):
+            x = _dense(x, self.ws[i], self.bs[i], dt)
+            x = _bn_forward(self, self.bn[i], x, train, bn_momentum)
+            x = nn.relu(x)
+        i = n_l - 1
+        storage = jnp.bfloat16 if _eff(self.dtype) == jnp.bfloat16 \
+            else jnp.float32
+        out, stats = mx_chain(
+            (False, True, False), x,
+            (None, ((self.ws[i], self.bs[i], self.bn[i][0],
+                     self.bn[i][1]),)),
+            storage=storage)
+        _update_running(self, self.bn[i], *stats[0], bn_momentum,
+                        x.size // x.shape[-1])
+        return out
+
     def mx_params(self):
         """((w, b, bn_scale, bn_bias), ...) for the mx region."""
         return tuple((self.ws[i], self.bs[i], self.bn[i][0],
@@ -493,8 +533,7 @@ def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
         pmlp.mx_update_stats(stats[1:], bn_momentum, n)
         return out
     h = gfl(xyz, points, new_xyz, idx, train, bn_momentum)
-    out = pmlp(h, train, bn_momentum)
-    return jnp.max(out, axis=2)
+    return pmlp.call_max(h, train, bn_momentum)
 
 
 def _fps_idx(module, xyz, npoint, train):

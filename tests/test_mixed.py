@@ -419,3 +419,73 @@ class TestStochasticRounding:
         assert _run_dtype(m3, True) == jnp.bfloat16
         m4 = SimpleNamespace(dtype=MXSR, axis_name=None)
         assert _run_dtype(m4, False) == jnp.bfloat16
+
+
+class TestF32MaxRegion:
+    """The f32-storage closed-form [last layer + K-max] region
+    (``mx_chain(..., storage=jnp.float32)``) vs plain f32 autodiff."""
+
+    def _autodiff(self, pre, params):
+        B, S, K, F = pre.shape
+        (w, b, scale, bias), = params
+        z = pre.reshape(-1, F) @ w            # region skips +b (BN
+        mean = jnp.mean(z, axis=0)            # mean absorbs it exactly
+        var = jnp.maximum(jnp.mean(z ** 2, axis=0) - mean ** 2, 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        y = jax.nn.relu((z - mean) * inv * scale + bias)
+        return jnp.max(y.reshape(B * S, K, -1), axis=1).reshape(B, S, -1)
+
+    def test_forward_and_grads_match_autodiff(self):
+        key = jax.random.PRNGKey(3)
+        B, S, K, Fi, Fo = 2, 6, 5, 16, 24
+        pre = jax.random.normal(key, (B, S, K, Fi), jnp.float32)
+        params = _params(jax.random.fold_in(key, 1), (Fi, Fo))
+
+        def region(pre, params):
+            out, _ = mx_chain((False, True, False), pre, (None, params),
+                              storage=jnp.float32)
+            return out
+
+        o1 = region(pre, params)
+        o2 = self._autodiff(pre, params)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss_r(pre, params):
+            return jnp.sum(jnp.sin(region(pre, params)))
+
+        def loss_a(pre, params):
+            return jnp.sum(jnp.sin(self._autodiff(pre, params)))
+
+        g1 = jax.grad(loss_r, argnums=(0, 1))(pre, params)
+        g2 = jax.grad(loss_a, argnums=(0, 1))(pre, params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-4)
+
+    def test_call_max_matches_fallback(self):
+        """PointMLP.call_max with the opt-in region (PRIFIT_MAX_REGION=on)
+        vs the default autodiff max-of-call path on the same train
+        call."""
+        import os
+        from flax.core import freeze
+
+        stack = pn2.PointMLP(features=(24, 32), d_in=16)
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 6, 5, 16),
+                              jnp.float32)
+        vs = stack.init({"params": jax.random.PRNGKey(0)}, x, True)
+
+        def run(flag):
+            os.environ["PRIFIT_MAX_REGION"] = flag
+            try:
+                out, _ = stack.apply(
+                    vs, x, True, method=stack.call_max,
+                    mutable=["batch_stats"])
+            finally:
+                os.environ.pop("PRIFIT_MAX_REGION", None)
+            return out
+
+        on, off = run("on"), run("off")
+        np.testing.assert_allclose(np.asarray(on), np.asarray(off),
+                                   rtol=2e-5, atol=2e-5)
