@@ -389,6 +389,133 @@ def make_lift_benchmark(root, n_cats=8, n_per_cat=40, n_acd=2000,
     return sn_root, acd_root
 
 
+def make_modelnet_benchmark(root, n_cats=10, n_train=24, n_test=8,
+                            n_points=1024, seed=0, family="ellipsoid"):
+    """Realistic-input benchmark for the ``--modelnet_val`` SVM probe.
+
+    Writes the ``modelnet40_normal_resampled`` layout
+    (``data/modelnet.py``): ``n_cats`` structurally distinct categories
+    (each a fixed primitive-layout pool; per-shape random subsets +
+    jitter like the lift benchmark), x,y,z,nx,ny,nz rows per shape.
+    The reference's probe recipe (``pretrain_partseg_shapenet.py:
+    406-425``) runs against real ModelNet40; this gives the probe a
+    non-fixture workload in environments without the dataset.
+    """
+    rng_pool = np.random.default_rng(seed)
+    make_tpl = _sq_template if family == "superquadric" else _template
+    sample = _sample_shape_sq if family == "superquadric" \
+        else _sample_shape
+    names = [f"cat{c:02d}" for c in range(n_cats)]
+    pools = {n: make_tpl(rng_pool, 4 + (i % 3))
+             for i, n in enumerate(names)}
+    os.makedirs(root, exist_ok=True)
+    with open(osp.join(root, "modelnet40_shape_names.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    rng = np.random.default_rng(seed + 1)
+
+    def _mild(pool):
+        # ModelNet-style categories are structurally stable: full part
+        # set, mild jitter (the lift benchmark's hard-mode subsetting
+        # models ShapeNet-Part's within-category variation instead)
+        if family == "superquadric":
+            return [_sq_jitter(rng, q) for q in pool]
+        return [dict(r=q["r"] * rng.uniform(0.85, 1.18, 3),
+                     c=q["c"] + rng.normal(scale=0.1, size=3),
+                     R=q["R"] @ _rot_small(rng, 0.15)) for q in pool]
+
+    ids = {"train": [], "test": []}
+    for name in names:
+        d = osp.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_train + n_test):
+            token = f"{name}_{i:04d}"
+            tpl = _mild(pools[name])
+            xyz, nrm, _ = sample(rng, tpl, n_points)
+            data = np.concatenate([xyz, nrm], axis=1).astype(np.float32)
+            np.savetxt(osp.join(d, token + ".txt"), data, fmt="%.6f",
+                       delimiter=",")
+            ids["train" if i < n_train else "test"].append(token)
+    for split, items in ids.items():
+        with open(osp.join(root, f"modelnet40_{split}.txt"), "w") as f:
+            f.write("\n".join(items) + "\n")
+    return root
+
+
+def make_s3dis_rooms(root, n_rooms=4, n_points=20000, seed=0):
+    """Realistic-input S3DIS-style rooms for the sem-seg pipeline.
+
+    Geometry per room (``data/s3dis.py`` layout, [N, 7] npy rows of
+    xyz rgb label): floor/ceiling/4 walls as planes, a table (top +
+    legs), chairs, a wall board, and clutter boxes — classes are
+    geometrically separable the way real indoor scans are (height,
+    extent, position).  Rooms alternate between Area_1 (train) and
+    Area_5 (the default held-out test area)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    W, D, H = 4.0, 4.0, 3.0
+
+    def plane(n, extent, fixed_axis, value):
+        p = rng.uniform(0, 1, (n, 3)) * np.asarray(extent)
+        p[:, fixed_axis] = value
+        return p
+
+    def box(n, center, size):
+        # surface samples of an axis-aligned box: project onto a random
+        # face per point
+        p = rng.uniform(-0.5, 0.5, (n, 3))
+        ax = rng.integers(0, 3, n)
+        p[np.arange(n), ax] = np.sign(p[np.arange(n), ax] + 1e-9) * 0.5
+        return np.asarray(center) + p * np.asarray(size)
+
+    for i in range(n_rooms):
+        area = 1 if i % 2 == 0 else 5
+        # (sampler, label, area weight)
+        parts = [
+            (lambda n: plane(n, (W, D, 0), 2, 0.0), 1, W * D),   # floor
+            (lambda n: plane(n, (W, D, 0), 2, H), 0, W * D),     # ceiling
+            (lambda n: plane(n, (0, D, H), 0, 0.0), 2, D * H),   # walls
+            (lambda n: plane(n, (0, D, H), 0, W), 2, D * H),
+            (lambda n: plane(n, (W, 0, H), 1, 0.0), 2, W * H),
+            (lambda n: plane(n, (W, 0, H), 1, D), 2, W * H),
+        ]
+        tc = rng.uniform(1.2, 2.8, 2)
+        parts.append((lambda n, c=tuple(tc): box(
+            n, (c[0], c[1], 0.74), (1.2, 0.7, 0.06)), 7, 1.7))
+        for dx, dy in [(-0.5, -0.3), (0.5, -0.3), (-0.5, 0.3),
+                       (0.5, 0.3)]:
+            parts.append((lambda n, c=(tc[0] + dx, tc[1] + dy): box(
+                n, (c[0], c[1], 0.35), (0.07, 0.07, 0.7)), 7, 0.2))
+        for _ in range(2):
+            cc = rng.uniform(0.6, 3.4, 2)
+            parts.append((lambda n, c=tuple(cc): box(
+                n, (c[0], c[1], 0.45), (0.45, 0.45, 0.9)), 8, 1.6))
+        by = rng.uniform(1.0, 3.0)
+        parts.append((lambda n, y=by: box(
+            n, (W - 0.02, y, 1.5), (0.04, 1.2, 0.9)), 11, 1.1))
+        for _ in range(3):
+            cc = rng.uniform(0.3, 3.7, 2)
+            sz = rng.uniform(0.1, 0.5, 3)
+            z0 = rng.uniform(0.1, 0.4)
+            parts.append((lambda n, c=tuple(cc), s=tuple(sz), z=z0: box(
+                n, (c[0], c[1], z), s), 12, 0.6))
+
+        weights = np.array([w for _, _, w in parts])
+        alloc = np.maximum(
+            (weights / weights.sum() * n_points).astype(int), 48)
+        rows = []
+        for (sampler, label, _), n in zip(parts, alloc):
+            p = sampler(int(n))
+            rgb = np.clip(rng.normal(0.45 + 0.03 * label, 0.08,
+                                     (int(n), 3)), 0, 1)
+            lab = np.full((int(n), 1), label, np.float32)
+            rows.append(np.concatenate(
+                [p.astype(np.float32), rgb.astype(np.float32), lab], 1))
+        data = np.concatenate(rows, 0)
+        rng.shuffle(data, axis=0)
+        np.save(osp.join(root, f"Area_{area}_room{i:02d}.npy"), data)
+    return root
+
+
 if __name__ == "__main__":
     import argparse
 
