@@ -27,6 +27,7 @@ flash-attention backward structure; nothing [N, N] ever touches HBM.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +122,53 @@ def _bwd_fused_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref,
     dq_ref[:] = acc_ref[:]
 
 
+def _bwd_fused3_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref,
+                       dq_ref, dx_ref, acc_ref, *, col_tile):
+    """The fused backward with its 5 MXU calls packed into 3.
+
+    Same math as ``_bwd_fused_kernel``: ``sim = q x^T`` and ``gX = g x^T``
+    share one ``[2T, D] x [D, C]`` call (rows stacked), and the dX
+    contraction ``t^T q + (K/s)^T g`` is one ``[C, 2T] x [2T, D]`` call
+    (columns stacked) — same MACs, fewer/larger MXU dispatches, so the
+    VPU epilogue (exp/clip/select) overlaps fewer pipeline flushes.
+    ``PRIFIT_MS_BWD=fused3`` selects it (A/B vs ``fused``).
+    """
+    i = pl.program_id(0)
+    N = x_ref.shape[0]
+    T = q_ref.shape[0]
+    qg = jnp.concatenate([q_ref[:], g_ref[:]], axis=0).astype(jnp.bfloat16)
+    cvec, svec = c_ref[:], s_ref[:]                         # [T, 1]
+    inv_bw2 = 1.0 / bw2_ref[0, 0]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    def body(c, _):
+        xc = x_ref[pl.ds(c * col_tile, col_tile), :]        # [C, D]
+        xb = xc.astype(jnp.bfloat16)
+        sim_gx = jnp.dot(qg, xb.T, preferred_element_type=jnp.float32)
+        sim, gX = sim_gx[:T], sim_gx[T:]                    # [T, C] each
+        expo = (sim - 1.0) * inv_bw2
+        K = jnp.exp(jnp.clip(expo, _CLAMP_LO, _CLAMP_HI))
+        dK = (gX - cvec) / svec
+        t = jnp.where((expo > _CLAMP_LO) & (expo < _CLAMP_HI),
+                      K * dK * inv_bw2, 0.0)
+        tb = t.astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(tb, xb,
+                              preferred_element_type=jnp.float32)
+        tk = jnp.concatenate([tb, (K / svec).astype(jnp.bfloat16)],
+                             axis=0)                        # [2T, C]
+        dx_ref[pl.ds(c * col_tile, col_tile), :] += jax.lax.dot_general(
+            tk, qg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, N // col_tile, body, 0)
+    dq_ref[:] = acc_ref[:]
+
+
 def _tiles(N):
     return min(_ROW_TILE, N), min(_COL_TILE, N)
 
@@ -166,8 +214,11 @@ def _pallas_bwd(q, X, bw2, m, s, g, interpret=False):
     cvec = jnp.sum(g * m, axis=1, keepdims=True)            # [N, 1]
     bw2r = bw2.reshape(1, 1)
 
+    kern = (_bwd_fused3_kernel
+            if os.environ.get("PRIFIT_MS_BWD", "fused") == "fused3"
+            else _bwd_fused_kernel)
     dq, dX = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel, col_tile=C),
+        functools.partial(kern, col_tile=C),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(N // T,),

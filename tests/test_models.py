@@ -170,6 +170,32 @@ class TestOtherModels:
         assert out.seg_logits.shape == (B, N, 3)
         assert out.feat.shape == (B, N, 128)
 
+    def test_edgeconv_matches_edge_tensor(self, cloud):
+        """The fused (project-first / no-concat) _EdgeConv equals the
+        reference-layout dense over the materialized [B,N,K,2C] edge
+        tensor (src/dgcnn.py:74-107 + the Conv2d at :160), both gather
+        orders."""
+        from flax import linen as fnn
+        from prifit_tpu.nn.dgcnn import _EdgeConv, get_graph_feature
+        from prifit_tpu.ops.pairwise import knn
+
+        for C in (3, 64):  # narrow (edge path) and wide (project-first)
+            x = jnp.asarray(np.random.default_rng(C).normal(
+                size=(B, N, C)), jnp.float32)
+            idx = knn(x, 8)
+            conv = _EdgeConv(features=64, groups=2)
+            variables = conv.init(jax.random.PRNGKey(0), x, idx)
+            got = conv.apply(variables, x, idx)
+
+            edge, _ = get_graph_feature(x, 8, 8, idx=idx)
+            y = jnp.matmul(edge, variables["params"]["kernel"],
+                           precision=jax.lax.Precision.HIGHEST)
+            gn = fnn.GroupNorm(num_groups=2)
+            y = gn.apply({"params": variables["params"]["GroupNorm_0"]}, y)
+            want = jnp.max(fnn.leaky_relu(y, negative_slope=0.2), axis=2)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, rtol=2e-5)
+
     def test_reconstruction(self, cloud, cls_onehot):
         mod = get_module("reconstruction")
         model = mod.get_model(num_classes=PARTS, num_charts=4,

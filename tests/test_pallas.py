@@ -61,6 +61,24 @@ class TestPallasMeanShift:
         assert not supports_pallas(100, 128)
         assert not supports_pallas(2048, 96)
 
+    def test_fused3_backward_matches_fused(self, rng, monkeypatch):
+        """The 3-call backward (PRIFIT_MS_BWD=fused3) computes the same
+        dq/dX as the 5-call one — identical math, packed MXU calls."""
+        N, D = 256, 128
+        X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+        X = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
+        bw2 = jnp.float32(0.3)
+
+        def grads():
+            return jax.grad(lambda x: jnp.sum(
+                mean_shift_step_pallas(x, x, bw2, True) ** 2))(X)
+
+        monkeypatch.setenv("PRIFIT_MS_BWD", "fused")
+        g5 = np.asarray(grads())
+        monkeypatch.setenv("PRIFIT_MS_BWD", "fused3")
+        g3 = np.asarray(grads())
+        np.testing.assert_allclose(g3, g5, atol=1e-5, rtol=1e-5)
+
 
 class TestPallasBandwidth:
     def test_matches_bisect(self, rng):
