@@ -124,15 +124,16 @@ def parse_args(argv=None):
              "compute with output quantized to bf16, exact gradients)")
     add("--encoder_dtype", type=str, default="auto",
         choices=["auto", "f32", "bf16", "sa_bf16", "mx", "mxsr"],
-        help="encoder MLP compute dtype. auto == f32 (bf16 destabilizes "
-             "few-shot training via COTANGENT rounding, STATUS.md "
-             "round-3 bisection); bf16 / sa_bf16 opt in to 1.4-1.8x "
-             "faster steps for throughput-bound workloads; mx = bf16 "
-             "activations with exact f32 cotangents (nn/mixed.py — the "
-             "bisection-validated fast mode; heads, BN stats and the "
-             "convex-loss geometry always f32); mxsr = mx with "
-             "stochastically-rounded bf16 cotangents (unbiased casts, "
-             "half the backward HBM bytes of mx)")
+        help="encoder MLP compute dtype. auto == mxsr (bf16 storage "
+             "fwd+bwd with STOCHASTICALLY-rounded cotangents, "
+             "nn/mixed.py: unbiased casts give f32-grade few-shot "
+             "accuracy on two data families at f32-matching step time — "
+             "STATUS.md rounds 3-4; heads, BN stats and the convex-loss "
+             "geometry always f32). f32 restores the pre-round-5 "
+             "default; bf16 destabilizes few-shot training via biased "
+             "COTANGENT rounding (round-3 bisection) and is kept with "
+             "sa_bf16 as a measured A/B; mx = bf16 activations with "
+             "exact f32 cotangents (mxsr's ancestor, slower)")
     args = parser.parse_args(argv)
     if args.split is not None:
         args.train_split = args.split

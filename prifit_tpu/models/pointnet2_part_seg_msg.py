@@ -54,10 +54,12 @@ class get_model(nn.Module):
     # seg-head dropout probability (the reference's mutable ``drop1.p``;
     # trajectory-parity tests set 0.0 on both sides)
     dropout_rate: float = 0.5
-    # encoder compute dtype: "auto" = bf16 on TPU, f32 elsewhere.  bf16
-    # halves activation bandwidth through the SA/FP MLP chains; BN stats
-    # and everything from the feat head on (seg logits, embedding,
-    # convex-loss geometry) stay f32.
+    # encoder compute dtype: "auto" == "mxsr" (bf16 storage fwd+bwd with
+    # stochastically-rounded cotangents — f32-grade accuracy on two data
+    # families at bf16-class bandwidth; models/common.py::encoder_dtypes
+    # has the evidence trail).  "f32" restores the pre-round-5 default;
+    # BN stat accumulation and everything from the feat head on (seg
+    # logits, embedding, convex-loss geometry) stay f32 in every mode.
     compute_dtype: str = "auto"
     # nearest-k-within-radius fused ball query (TPU-fast, documented
     # semantics deviation) vs the reference's first-k-by-index
@@ -76,8 +78,9 @@ class get_model(nn.Module):
     stage_dtypes: str = ""
 
     def _encoder_dtypes(self):
-        """See :func:`prifit_tpu.models.common.encoder_dtypes` (the f32
-        default is a measured decision, STATUS.md bf16 A/B)."""
+        """See :func:`prifit_tpu.models.common.encoder_dtypes` (the mxsr
+        default is a measured decision — 2-family accuracy + speed
+        parity, STATUS.md rounds 3-4)."""
         return encoder_dtypes(self.compute_dtype)
 
     def _stage_cfg(self, stage, default_dtype):
@@ -141,7 +144,11 @@ class get_model(nn.Module):
         cls_onehot = jnp.broadcast_to(cls_label[:, None, :], (B, N, 16))
         skip = jnp.concatenate([cls_onehot, l0_xyz, l0_points], axis=-1)
 
-        dtf1, qf1 = self._stage_cfg("fp1", dt_fp)
+        # extra_layers: fp1 has no MLP (the dense chain below runs f32),
+        # so the encoder default dtype (mxsr since round 5) does not
+        # apply — only an EXPLICIT stage_dtypes override is an error
+        dtf1, qf1 = self._stage_cfg(
+            "fp1", None if self.extra_layers else dt_fp)
         if self.extra_layers:
             if dtf1 is not None:
                 raise ValueError(

@@ -131,6 +131,10 @@ def _ours(module_name, **kw):
     import importlib
 
     mod = importlib.import_module(f"prifit_tpu.models.{module_name}")
+    # dtype pinned to f32: these tests compare ported weights against
+    # the f32 torch reference at atol 5e-5, which the default mxsr
+    # mode's bf16 forward storage cannot (and should not) meet
+    kw.setdefault("compute_dtype", "f32")
     return mod, mod.get_model(num_parts=PARTS, fused_ball_query=False,
                               **kw)
 
