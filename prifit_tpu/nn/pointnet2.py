@@ -466,30 +466,59 @@ class GroupedFirstLayer(nn.Module):
             pre = pre + self.b
         return pre
 
-    def pre_tensor(self, xyz, points, new_xyz, idx):
-        """The pre-BN grouped activation [B, S, K, features], f32.
+    def pre_tensor(self, xyz, points, new_xyz, idx, low=False):
+        """The pre-BN grouped activation [B, S, K, features].
 
-        Precision note: this value is ``projected_neighbor -
-        projected_center`` where the difference is much smaller than the
-        operands (sa1 radii are 0.1-0.4 on unit-sphere clouds), so
-        bf16-rounded gathers or projections suffer catastrophic
-        cancellation that measurably degrades few-shot training
-        (STATUS.md bf16 A/B).  The whole affine part therefore runs f32
-        with exact gathers regardless of ``dtype``."""
+        Split form (default): the xyz part is DIFFERENCE-FIRST — gather
+        the raw coordinates exactly (width 3, the Pallas lane gather),
+        subtract the center at raw width, project the small difference.
+        This is the reference's own op order
+        (``pointnet_util.py:130-137``: ``grouped_xyz -= new_xyz`` before
+        the convs) and removes the cancellation hazard the legacy
+        project-then-subtract form had (``projected_neighbor -
+        projected_center`` with operands much larger than the result);
+        the projection of an already-small difference is
+        rounding-benign.  The feature part has no center subtraction, so
+        its value rounding is benign (STATUS.md bisection, ``q``
+        variants): with ``low`` (the mxsr region) it is gathered as
+        bf16 at DEFAULT matmul precision — the wide-table gather that
+        used to run 3-pass f32 HIGHEST — while f32/fq/eval keep exact
+        gathers.  ``PRIFIT_GFL=legacy`` restores the round-4 structure
+        for A/B."""
         prec = jax.lax.Precision.HIGHEST
-        if 3 + self.d_in <= self.features:
-            grouped = _dense(gather_neighbors(xyz, idx, precision=prec),
-                             self.w_xyz)
-            if self.d_in:
-                grouped = grouped + _dense(
-                    gather_neighbors(points, idx, precision=prec),
-                    self.w_feat, self.b_feat)
+        if os.environ.get("PRIFIT_GFL", "split") == "legacy":
+            if 3 + self.d_in <= self.features:
+                grouped = _dense(
+                    gather_neighbors(xyz, idx, precision=prec),
+                    self.w_xyz)
+                if self.d_in:
+                    grouped = grouped + _dense(
+                        gather_neighbors(points, idx, precision=prec),
+                        self.w_feat, self.b_feat)
+                else:
+                    grouped = grouped + self.b
             else:
-                grouped = grouped + self.b
-        else:
-            grouped = gather_neighbors(self.pre_affine(xyz, points), idx,
-                                       precision=prec)
-        return grouped - _dense(new_xyz, self.w_xyz)[:, :, None, :]
+                grouped = gather_neighbors(
+                    self.pre_affine(xyz, points), idx, precision=prec)
+            return grouped - _dense(new_xyz, self.w_xyz)[:, :, None, :]
+        gx = gather_neighbors(xyz, idx, precision=prec)     # [B,S,K,3]
+        out = _dense(gx - new_xyz[:, :, None, :], self.w_xyz)
+        if not self.d_in:
+            return out + self.b
+        if low:
+            # bf16 projection table + DEFAULT gather (one bf16 MXU pass
+            # fwd and bwd); the dense itself stays f32 so its param
+            # gradient accumulates unrounded
+            feats = _dense(points, self.w_feat, self.b_feat)
+            return out + gather_neighbors(
+                feats.astype(jnp.bfloat16), idx).astype(jnp.float32)
+        if self.d_in <= self.features:
+            return out + _dense(
+                gather_neighbors(points, idx, precision=prec),
+                self.w_feat, self.b_feat)
+        return out + gather_neighbors(
+            _dense(points, self.w_feat, self.b_feat), idx,
+            precision=prec)
 
     def mx_bn_params(self):
         return self.bn[0], self.bn[1]
@@ -519,7 +548,13 @@ def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
     B, N, _ = xyz.shape
     S, K = idx.shape[1], idx.shape[2]
     if _mx_mode(module, train):
-        pre = gfl.pre_tensor(xyz, points, new_xyz, idx)
+        # mxsr additionally gathers the FEATURE projection in bf16
+        # (``low``) — the value rounding is benign (bisection) and the
+        # wide-table HIGHEST gather was the last f32 multi-pass einsum
+        # in the stage.  mx keeps exact gathers (its contract is f32
+        # cotangents everywhere upstream of the region too).
+        pre = gfl.pre_tensor(xyz, points, new_xyz, idx,
+                             low=module.dtype == MXSR)
         if module.dtype == MXSR:
             # bf16 boundary: same forward values (the region casts to
             # bf16 anyway); the [B, S, K, F] pre and its SR'd exit

@@ -72,73 +72,31 @@ def _fwd_kernel(bw2_ref, q_ref, x_ref, out_ref, s_out_ref, acc_ref, s_ref,
     s_out_ref[:] = s_ref[:]
 
 
-def _bwd_fused_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref,
-                      dq_ref, dx_ref, acc_ref, *, col_tile):
-    """dq AND dX in one pass over the row tiles.
+def _bwd_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref,
+                dq_ref, dx_ref, acc_ref, *, col_tile):
+    """dq AND dX in one pass over the row tiles, 3 MXU calls per tile.
 
-    The earlier two-kernel backward recomputed the sim matrix in each
-    kernel (7 [T, C] x D matmul units per tile pair vs the forward's 2);
-    fusing shares sim/K/t between the dq row-output and the dX
-    accumulation (5 units), measured ~x0.7 the backward time.  dX lives
-    in a revisited [N, D] f32 output block (1 MB at the flagship shape)
-    accumulated across the sequential grid.
-    """
-    i = pl.program_id(0)
-    N = x_ref.shape[0]
-    q = q_ref[:].astype(jnp.bfloat16)
-    g = g_ref[:].astype(jnp.bfloat16)
-    cvec, svec = c_ref[:], s_ref[:]                         # [T, 1]
-    inv_bw2 = 1.0 / bw2_ref[0, 0]
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(i == 0)
-    def _():
-        dx_ref[:] = jnp.zeros_like(dx_ref)
-
-    def body(c, _):
-        xc = x_ref[pl.ds(c * col_tile, col_tile), :]        # [C, D]
-        xb = xc.astype(jnp.bfloat16)
-        sim = jnp.dot(q, xb.T, preferred_element_type=jnp.float32)
-        expo = (sim - 1.0) * inv_bw2                        # [T, C]
-        K = jnp.exp(jnp.clip(expo, _CLAMP_LO, _CLAMP_HI))
-        gX = jnp.dot(g, xb.T, preferred_element_type=jnp.float32)
-        dK = (gX - cvec) / svec
-        t = jnp.where((expo > _CLAMP_LO) & (expo < _CLAMP_HI),
-                      K * dK * inv_bw2, 0.0)
-        tb = t.astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot(tb, xb,
-                              preferred_element_type=jnp.float32)
-        # dX[c-chunk] += t^T q + (K/s)^T g — contract the row axis via
-        # dot_general instead of materializing transposes
-        kb = (K / svec).astype(jnp.bfloat16)
-        dx_ref[pl.ds(c * col_tile, col_tile), :] += (
-            jax.lax.dot_general(tb, q, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(kb, g, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32))
-        return 0
-
-    jax.lax.fori_loop(0, N // col_tile, body, 0)
-    dq_ref[:] = acc_ref[:]
-
-
-def _bwd_fused3_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref,
-                       dq_ref, dx_ref, acc_ref, *, col_tile):
-    """The fused backward with its 5 MXU calls packed into 3.
-
-    Same math as ``_bwd_fused_kernel``: ``sim = q x^T`` and ``gX = g x^T``
-    share one ``[2T, D] x [D, C]`` call (rows stacked), and the dX
-    contraction ``t^T q + (K/s)^T g`` is one ``[C, 2T] x [2T, D]`` call
-    (columns stacked) — same MACs, fewer/larger MXU dispatches, so the
-    VPU epilogue (exp/clip/select) overlaps fewer pipeline flushes.
-    ``PRIFIT_MS_BWD=fused3`` selects it (A/B vs ``fused``).
+    ``sim = q x^T`` and ``gX = g x^T`` share one ``[2T, D] x [D, C]``
+    call (rows stacked), and the dX contraction ``t^T q + (K/s)^T g`` is
+    one ``[C, 2T] x [2T, D]`` call (columns stacked) — same MACs as the
+    naive 5-call form but fewer/larger MXU dispatches, so the VPU
+    epilogue (exp/clip/select) overlaps fewer pipeline flushes (A/B'd
+    on-chip: 15.8 vs 16.7 ms for the 10-iteration fwd+grad chain; the
+    5-call variant is deleted).  The kernel is VPU-bound, so the row
+    statistics ``1/s_i`` (and ``c_i/s_i``, with ``1/bw^2`` folded in)
+    are hoisted out of the column loop: per [T, C] tile the former two
+    divisions become multiplies.  dX lives in a revisited [N, D] f32
+    output block (1 MB at the flagship shape) accumulated across the
+    sequential grid.
     """
     i = pl.program_id(0)
     N = x_ref.shape[0]
     T = q_ref.shape[0]
     qg = jnp.concatenate([q_ref[:], g_ref[:]], axis=0).astype(jnp.bfloat16)
-    cvec, svec = c_ref[:], s_ref[:]                         # [T, 1]
     inv_bw2 = 1.0 / bw2_ref[0, 0]
+    rs = 1.0 / s_ref[:]                                     # [T, 1]
+    rs2 = rs * inv_bw2
+    cs2 = c_ref[:] * rs2                                    # [T, 1]
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     @pl.when(i == 0)
@@ -152,13 +110,14 @@ def _bwd_fused3_kernel(bw2_ref, q_ref, g_ref, c_ref, s_ref, x_ref,
         sim, gX = sim_gx[:T], sim_gx[T:]                    # [T, C] each
         expo = (sim - 1.0) * inv_bw2
         K = jnp.exp(jnp.clip(expo, _CLAMP_LO, _CLAMP_HI))
-        dK = (gX - cvec) / svec
+        # t = K * (gX - c) / (s * bw^2), zeroed where the exponent
+        # clamped (guard_exp's gradient cutoff)
         t = jnp.where((expo > _CLAMP_LO) & (expo < _CLAMP_HI),
-                      K * dK * inv_bw2, 0.0)
+                      K * (gX * rs2 - cs2), 0.0)
         tb = t.astype(jnp.bfloat16)
         acc_ref[:] += jnp.dot(tb, xb,
                               preferred_element_type=jnp.float32)
-        tk = jnp.concatenate([tb, (K / svec).astype(jnp.bfloat16)],
+        tk = jnp.concatenate([tb, (K * rs).astype(jnp.bfloat16)],
                              axis=0)                        # [2T, C]
         dx_ref[pl.ds(c * col_tile, col_tile), :] += jax.lax.dot_general(
             tk, qg, (((0,), (0,)), ((), ())),
@@ -214,11 +173,8 @@ def _pallas_bwd(q, X, bw2, m, s, g, interpret=False):
     cvec = jnp.sum(g * m, axis=1, keepdims=True)            # [N, 1]
     bw2r = bw2.reshape(1, 1)
 
-    kern = (_bwd_fused3_kernel
-            if os.environ.get("PRIFIT_MS_BWD", "fused") == "fused3"
-            else _bwd_fused_kernel)
     dq, dX = pl.pallas_call(
-        functools.partial(kern, col_tile=C),
+        functools.partial(_bwd_kernel, col_tile=C),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(N // T,),

@@ -61,23 +61,42 @@ class TestPallasMeanShift:
         assert not supports_pallas(100, 128)
         assert not supports_pallas(2048, 96)
 
-    def test_fused3_backward_matches_fused(self, rng, monkeypatch):
-        """The 3-call backward (PRIFIT_MS_BWD=fused3) computes the same
-        dq/dX as the 5-call one — identical math, packed MXU calls."""
+    def test_backward_clamp_cutoff(self, rng):
+        """Gradients are zeroed exactly where guard_exp clamps — the
+        where-mask must survive the hoisted-reciprocal epilogue (the
+        3-call backward folds 1/s and c/(s*bw^2) into row statistics).
+
+        Two antipodal blobs at bw2=0.15: cross-blob sims ~= -1 give
+        exponents ~ -13.3 < _CLAMP_LO (clamped, zero gradient), in-blob
+        sims ~= 1 stay live.  The reference rounds matmul operands to
+        bf16 like the kernel does (interpret mode really rounds) so the
+        two sides compute the same clamp mask; pathological bandwidths
+        (bw2 << 0.01, where 1/bw2 amplifies bf16 rounding of the
+        COTANGENT beyond any tolerance) are floored upstream by the
+        clustering bandwidth guard and not a kernel contract."""
         N, D = 256, 128
-        X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+        c = rng.normal(size=(1, D))
+        blob = c + 0.05 * rng.normal(size=(N // 2, D))
+        X = jnp.asarray(np.concatenate([blob, -blob]), jnp.float32)
         X = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
-        bw2 = jnp.float32(0.3)
+        bw2 = jnp.float32(0.15)
 
-        def grads():
-            return jax.grad(lambda x: jnp.sum(
-                mean_shift_step_pallas(x, x, bw2, True) ** 2))(X)
+        def ref(x):
+            xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+            return _ref_step(xb, xb, bw2)
 
-        monkeypatch.setenv("PRIFIT_MS_BWD", "fused")
-        g5 = np.asarray(grads())
-        monkeypatch.setenv("PRIFIT_MS_BWD", "fused3")
-        g3 = np.asarray(grads())
-        np.testing.assert_allclose(g3, g5, atol=1e-5, rtol=1e-5)
+        # sanity: the regime really exercises both sides of the clamp
+        sim = np.asarray(X @ X.T)
+        expo = (sim - 1.0) / 0.15
+        assert (expo < -13.0).any() and (expo > -13.0).any()
+
+        g_pal = jax.grad(lambda x: jnp.sum(
+            mean_shift_step_pallas(x, x, bw2, True) ** 2))(X)
+        g_ref = jax.grad(lambda x: jnp.sum(ref(x) ** 2))(X)
+        assert np.isfinite(np.asarray(g_pal)).all()
+        scale = float(np.max(np.abs(np.asarray(g_ref)))) + 1e-12
+        np.testing.assert_allclose(np.asarray(g_pal) / scale,
+                                   np.asarray(g_ref) / scale, atol=2e-2)
 
 
 class TestPallasBandwidth:

@@ -640,7 +640,9 @@ class TestStageDtypes:
         rng = np.random.default_rng(1)
         pts = jnp.asarray(rng.normal(size=(2, 96, 3)), jnp.float32)
         cls = jnp.zeros((2, 16), jnp.float32)
-        base = mod.get_model(num_parts=50)
+        # f32 baseline pinned: the DEFAULT is mxsr since round 5, whose
+        # eval forward is bf16 — it would equal the bf16 arm exactly
+        base = mod.get_model(num_parts=50, compute_dtype="f32")
         v = base.init({"params": jax.random.PRNGKey(0),
                        "sampling": jax.random.PRNGKey(1),
                        "dropout": jax.random.PRNGKey(2)},
