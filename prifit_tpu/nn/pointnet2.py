@@ -466,59 +466,46 @@ class GroupedFirstLayer(nn.Module):
             pre = pre + self.b
         return pre
 
-    def pre_tensor(self, xyz, points, new_xyz, idx, low=False):
-        """The pre-BN grouped activation [B, S, K, features].
+    def pre_tensor(self, xyz, points, new_xyz, idx):
+        """The pre-BN grouped activation [B, S, K, features]: ONE exact
+        (HIGHEST) gather per scale of whichever side is narrower (raw
+        inputs vs the combined ``pre_affine`` projection), then subtract
+        the projected center.
 
-        Split form (default): the xyz part is DIFFERENCE-FIRST — gather
-        the raw coordinates exactly (width 3, the Pallas lane gather),
-        subtract the center at raw width, project the small difference.
-        This is the reference's own op order
-        (``pointnet_util.py:130-137``: ``grouped_xyz -= new_xyz`` before
-        the convs) and removes the cancellation hazard the legacy
-        project-then-subtract form had (``projected_neighbor -
-        projected_center`` with operands much larger than the result);
-        the projection of an already-small difference is
-        rounding-benign.  The feature part has no center subtraction, so
-        its value rounding is benign (STATUS.md bisection, ``q``
-        variants): with ``low`` (the mxsr region) it is gathered as
-        bf16 at DEFAULT matmul precision — the wide-table gather that
-        used to run 3-pass f32 HIGHEST — while f32/fq/eval keep exact
-        gathers.  ``PRIFIT_GFL=legacy`` restores the round-4 structure
-        for A/B."""
+        Round-5 refuted restructures (measured on-chip, mxsr sup /
+        selfsup step; this combined-gather form is 59.4 / 80.9 ms):
+
+        - difference-first xyz (gather raw coords, subtract the center
+          at width 3, project the difference — the reference's own op
+          order, ``pointnet_util.py:130-137``) with the feature
+          projection gathered separately as bf16: 69.1 / 91.4 ms.
+        - same two-gather structure but the xyz part projected at F
+          width before the subtraction (no minor-dim-3 elementwise
+          ops): 69.5 / 91.5 ms.
+
+        The two variants bracket the cause: it is not the narrow-lane
+        layout and not gather precision — a SECOND gather per scale
+        costs ~10 ms across the encoder (each gather pays the full
+        [B, S, K, N] one-hot/index side regardless of gathered width),
+        which swamps the bf16-vs-HIGHEST saving on the wide tables.
+        The exact combined gather stays (also the accuracy-mandated
+        choice: the projected-neighbor minus projected-center
+        difference is cancellation-sensitive, STATUS.md round 2)."""
         prec = jax.lax.Precision.HIGHEST
-        if os.environ.get("PRIFIT_GFL", "split") == "legacy":
-            if 3 + self.d_in <= self.features:
-                grouped = _dense(
-                    gather_neighbors(xyz, idx, precision=prec),
-                    self.w_xyz)
-                if self.d_in:
-                    grouped = grouped + _dense(
-                        gather_neighbors(points, idx, precision=prec),
-                        self.w_feat, self.b_feat)
-                else:
-                    grouped = grouped + self.b
+        if 3 + self.d_in <= self.features:
+            grouped = _dense(
+                gather_neighbors(xyz, idx, precision=prec),
+                self.w_xyz)
+            if self.d_in:
+                grouped = grouped + _dense(
+                    gather_neighbors(points, idx, precision=prec),
+                    self.w_feat, self.b_feat)
             else:
-                grouped = gather_neighbors(
-                    self.pre_affine(xyz, points), idx, precision=prec)
-            return grouped - _dense(new_xyz, self.w_xyz)[:, :, None, :]
-        gx = gather_neighbors(xyz, idx, precision=prec)     # [B,S,K,3]
-        out = _dense(gx - new_xyz[:, :, None, :], self.w_xyz)
-        if not self.d_in:
-            return out + self.b
-        if low:
-            # bf16 projection table + DEFAULT gather (one bf16 MXU pass
-            # fwd and bwd); the dense itself stays f32 so its param
-            # gradient accumulates unrounded
-            feats = _dense(points, self.w_feat, self.b_feat)
-            return out + gather_neighbors(
-                feats.astype(jnp.bfloat16), idx).astype(jnp.float32)
-        if self.d_in <= self.features:
-            return out + _dense(
-                gather_neighbors(points, idx, precision=prec),
-                self.w_feat, self.b_feat)
-        return out + gather_neighbors(
-            _dense(points, self.w_feat, self.b_feat), idx,
-            precision=prec)
+                grouped = grouped + self.b
+        else:
+            grouped = gather_neighbors(
+                self.pre_affine(xyz, points), idx, precision=prec)
+        return grouped - _dense(new_xyz, self.w_xyz)[:, :, None, :]
 
     def mx_bn_params(self):
         return self.bn[0], self.bn[1]
@@ -548,13 +535,7 @@ def _run_scale(module, gfl, pmlp, mlp, xyz, points, new_xyz, idx, train,
     B, N, _ = xyz.shape
     S, K = idx.shape[1], idx.shape[2]
     if _mx_mode(module, train):
-        # mxsr additionally gathers the FEATURE projection in bf16
-        # (``low``) — the value rounding is benign (bisection) and the
-        # wide-table HIGHEST gather was the last f32 multi-pass einsum
-        # in the stage.  mx keeps exact gathers (its contract is f32
-        # cotangents everywhere upstream of the region too).
-        pre = gfl.pre_tensor(xyz, points, new_xyz, idx,
-                             low=module.dtype == MXSR)
+        pre = gfl.pre_tensor(xyz, points, new_xyz, idx)
         if module.dtype == MXSR:
             # bf16 boundary: same forward values (the region casts to
             # bf16 anyway); the [B, S, K, F] pre and its SR'd exit
