@@ -57,6 +57,27 @@ MXDT = jnp.bfloat16
 _EPS = 1e-5
 
 
+def _mat(x):
+    """Force a REAL low-precision materialization.
+
+    XLA's excess-precision pass (``--xla_allow_excess_precision``, on by
+    default) elides ``f32 -> bf16 -> f32`` convert pairs.  Every bf16
+    storage point in this region is followed by an f32 upcast somewhere
+    (BN stats, ``bf16_affine``, cotangent accumulation), so without a
+    barrier the "bf16" z tensors, the region-entry pre tensor, and the
+    SR'd cotangents all materialize as f32 — doubling the region's HBM
+    traffic (profiled on v5e: sa1 mxsr fwd 16.1 ms vs plain-bf16's 7.4,
+    with 805 MB f32 z writes and f32 layout copies).  Applied at the
+    FORWARD storage points only (region entry, each layer's z): that
+    measured sa1 fwd 16.1 -> 12.7 ms / fwd+bwd 35.2 -> 34.9 (the
+    backward's reads of the now-bf16 residuals roughly cancel new
+    fusion breaks).  Barriering the SR cotangent casts too was A/B'd
+    and LOST (+2.6 ms, see ``sr_bf16``)."""
+    if x.dtype == jnp.float32:
+        return x
+    return jax.lax.optimization_barrier(x)
+
+
 def _hash_bits16(key, shape):
     """Uniform 16-bit noise as a FUSABLE elementwise epilogue.
 
@@ -112,6 +133,12 @@ def sr_bf16(key, x):
         bits = _hash_bits16(key, x.shape)
     xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
     y = (xi + bits) & jnp.uint32(0xFFFF0000)
+    # NO barrier here, unlike the forward storage points: barriering
+    # the SR outputs (so the masked-bits value lands in HBM as bf16)
+    # was A/B'd on sa1 and LOST, +2.6 ms fwd+bwd — it blocks the SR
+    # computation from fusing into its consumers (e.g. the [rows, K, F]
+    # broadcasts of gsm in ``_max_bwd_core`` materialized), which costs
+    # more than the f32-vs-bf16 store it saves.
     return jax.lax.bitcast_convert_type(y, jnp.float32).astype(MXDT)
 
 
@@ -140,6 +167,17 @@ def _layer_fwd(xf, w, b, scale, bias, sdt=MXDT):
     ``xf``: [n, Fi] bf16.  Returns (y [n, Fo] bf16, (mean, var) for the
     running stats, residuals for the hand backward).
 
+    BN statistics reduce over the UNROUNDED f32 matmul accumulator,
+    fused into the dot's epilogue; only the bf16-rounded ``z`` lands in
+    HBM (``_mat`` pins it — see its docstring).  On TPU this matches
+    what the pre-barrier code already computed (excess precision had
+    elided the round under the stats), so the accuracy evidence
+    carries over; statistics of rounded vs unrounded values differ by
+    ~1e-3 relative either way, far inside BN's own batch noise.  The
+    stored residual and the affine input are the SAME rounded tensor
+    the backward sees, so relu masks recomputed there match the
+    forward's exactly.
+
     The dense bias is NOT added to the pre-activation: BN's mean
     subtraction cancels it analytically, so only the reported running
     mean carries ``+ b``.  The earlier folded-into-dense formulation
@@ -148,12 +186,20 @@ def _layer_fwd(xf, w, b, scale, bias, sdt=MXDT):
     transpose dwarf the dense itself at wide-input layers (FP stages,
     Fi ~ 1.3k) — so stats come from one reduction over the [n, Fo]
     pre-activation this layer materializes anyway."""
-    z = jax.lax.dot_general(xf, w.astype(sdt),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=sdt)
-    y, (mean_z, var), res_bn = _prebn_fwd(z, scale, bias, sdt)
+    z32 = jax.lax.dot_general(xf, w.astype(sdt),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    n = z32.shape[0]
+    mean_z = jnp.mean(z32, axis=0)
+    var = jnp.maximum(jnp.mean(z32 ** 2, axis=0) - mean_z ** 2, 0.0)
+    inv = jax.lax.rsqrt(var + _EPS)
+    a = (scale * inv).astype(sdt)
+    c = (bias - mean_z * scale * inv).astype(sdt)
+    z = _mat(z32.astype(sdt))
+    y = jax.nn.relu(bf16_affine(z, a, c, sdt))
+    res_bn = (z, a, c, scale, mean_z, inv, jnp.asarray(n, jnp.float32))
     mean = mean_z + b.astype(jnp.float32)
-    return y, (mean, var), (xf, w, res_bn)
+    return y, (mean, var), (xf, w, res_bn), z32
 
 
 def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None,
@@ -175,12 +221,14 @@ def _layer_bwd(res, g, sr_key=None, sr_out=True, max_ctx=None,
     """
     xf, w, res_bn = res
     if max_ctx is not None:
+        # dz arrives FINAL from the closed form (SR'd bf16 under sr)
         dz, (dscale, dbias) = _max_bwd_core(res_bn, *max_ctx,
                                             sr_key=sr_key)
     else:
         dz, (dscale, dbias) = _prebn_bwd(res_bn, g, sdt)   # [n, Fo] f32
+        if sr_key is not None:
+            dz = sr_bf16(jax.random.fold_in(sr_key, 0), dz)
     if sr_key is not None:
-        dz = sr_bf16(jax.random.fold_in(sr_key, 0), dz)
         # bf16-VALUED operands in dz's container dtype: a no-op for the
         # real sr_bf16 (dz bf16), and with the test-side identity patch
         # (dz f32) this computes the exact rounding-free EXPECTATION of
@@ -226,20 +274,51 @@ def _max_bwd_core(res_bn, g_rows, out_bf, zsel, sr_key):
     collapse: ``sum_k gb = gsm * cnt`` and ``sum_k gb * xhat =
     gsm * cnt * xhat(zsel)``.  ``dbias``/``dscale`` therefore reduce
     over ``[rows, F]`` (K-fold less traffic than the generic
-    ``[n, F]`` path) and ``dz`` is ONE elementwise pass over ``z`` —
-    no ``[rows, K, F]`` cotangent expansion is ever materialized
-    (profiled: the eq/where broadcasts + their re-reads were ~4 ms of
-    the mxsr sup step).  Returns (dz [n, F] f32, (dscale, dbias)).
+    ``[n, F]`` path) and ``dz`` is ONE elementwise pass over ``z``.
+
+    Returns (dz [n, F] — FINAL, i.e. already SR'd bf16 under ``sr_key``
+    — and (dscale, dbias)).
+
+    On TPU the cnt/gsm and dz passes run as Pallas kernels
+    (``ops/pallas/max_bwd.py``): the dz closed form contains
+    K-broadcasts of the [rows, F] gsm/zsel consumed through a flat
+    [n, F] view (what the dw/dx dots want), a periodic pattern XLA's
+    2-D fusions cannot express — the compiler materialized the
+    broadcasts in HBM (~2.5 ms of [12288, K, 128] writes + a 2.8 ms
+    re-reading dz fusion at the flagship sup step; a 3-D-dz variant
+    with two-contracting-dim dots was canonicalized straight back).
+    The jnp path below is the oracle + CPU/odd-shape fallback.
     """
     z, a, c, scale, mean, inv, n = res_bn
     rows, F = out_bf.shape
     K = z.shape[0] // rows
+    sr = sr_key is not None
+    from prifit_tpu.ops.pallas.max_bwd import (
+        cnt_gsm_pallas, dz_pallas, supports_pallas)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and supports_pallas(rows, K, F)
+                  and os.environ.get("PRIFIT_MAX_BWD",
+                                     "pallas") == "pallas")
+    if use_pallas:
+        cnt, gsm = cnt_gsm_pallas(
+            z, zsel, g_rows, out_bf,
+            jax.random.fold_in(sr_key, 255) if sr else None, sr)
+        gsm32 = gsm.astype(jnp.float32)
+        xhat_sel = (zsel.astype(jnp.float32) - mean) * inv
+        dbias = jnp.sum(gsm32 * cnt, axis=0)
+        dscale = jnp.sum(gsm32 * cnt * xhat_sel, axis=0)
+        c1 = inv * scale * dbias / n                       # [F]
+        c2 = inv * inv * scale * dscale / n                # [F]
+        dz = dz_pallas(z, zsel, gsm, inv * scale, c1, mean, c2,
+                       jax.random.fold_in(sr_key, 0) if sr else None,
+                       sr)
+        return dz, (dscale, dbias)
     zk = z.reshape(rows, K, F)
     mask = zk == zsel[:, None, :]
     cnt = jnp.sum(mask, axis=1).astype(jnp.float32)        # >= 1
     g32 = jnp.where(out_bf > 0, g_rows.astype(jnp.float32), 0.0)
     gsm = g32 / cnt
-    if sr_key is not None:
+    if sr:
         gsm = sr_bf16(jax.random.fold_in(sr_key, 255), gsm)
     gsm32 = gsm.astype(jnp.float32)
     xhat_sel = (zsel.astype(jnp.float32) - mean) * inv
@@ -248,8 +327,10 @@ def _max_bwd_core(res_bn, g_rows, out_bf, zsel, sr_key):
     c1 = inv * scale * dbias / n                           # [F]
     c2 = inv * inv * scale * dscale / n                    # [F]
     dz = ((inv * scale) * jnp.where(mask, gsm32[:, None, :], 0.0)
-          - c1 - (zk.astype(jnp.float32) - mean) * c2)
-    return dz.reshape(-1, F), (dscale, dbias)
+          - c1 - (zk.astype(jnp.float32) - mean) * c2).reshape(-1, F)
+    if sr:
+        dz = sr_bf16(jax.random.fold_in(sr_key, 0), dz)
+    return dz, (dscale, dbias)
 
 
 def _prebn_bwd(res, g, sdt=MXDT):
@@ -280,14 +361,15 @@ def _mx_impl(cfg, pre, params):
     sdt = _SDTS[cfg[4]]
     pre_bn, chain = params
     shape = pre.shape
-    xf = pre.astype(sdt).reshape(-1, shape[-1])
+    xf = _mat(pre.astype(sdt)).reshape(-1, shape[-1])
     stats, residuals = [], []
+    z32_last = None
     if has_pre_bn:
         xf, st, res = _prebn_fwd(xf, *pre_bn, sdt)
         stats.append(st)
         residuals.append(res)
     for layer in chain:
-        xf, st, res = _layer_fwd(xf, *layer, sdt)
+        xf, st, res, z32_last = _layer_fwd(xf, *layer, sdt)
         stats.append(st)
         residuals.append(res)
     # sr (mxsr) regions return bf16 stage outputs so the inter-stage
@@ -314,16 +396,27 @@ def _mx_impl(cfg, pre, params):
             raise ValueError("mx_chain: has_max needs a BN or layer")
         z_last, a_last, c_last = residuals[-1][2][:3] if chain \
             else residuals[-1][:3]
-        zk = z_last.reshape(B * S, K, z_last.shape[-1]).astype(jnp.float32)
-        # one variadic reduce: max AND min in a single pass over z
-        # (two separate reduces each re-read the [n, F] residual —
-        # profiled 2 x 0.53 ms at sa1)
+        # one variadic reduce: max AND min in a single pass (two
+        # separate reduces each re-read the [n, F] residual — profiled
+        # 2 x 0.53 ms at sa1), IN the storage dtype.  A reduce cannot
+        # fuse with the dot that produces z (it takes materialized
+        # inputs), so reducing in f32 forces a full [n, F] f32
+        # re-materialization of the barriered z (profiled 1.9 ms at
+        # sa1 scale 3, and 5.5 ms fwd when applied to the f32
+        # accumulator directly); the bf16 reduce reads the residual
+        # as-is.  Exact: max/min are selections, so reducing bf16
+        # values in bf16 is bit-equal to reducing their f32 upcasts
+        # and rounding, and the backward's tie mask ``z == zsel`` sees
+        # identical values.
+        zk = z_last.reshape(B * S, K, z_last.shape[-1])
         zmx, zmn = jax.lax.reduce(
-            (zk, zk), (jnp.float32(-jnp.inf), jnp.float32(jnp.inf)),
+            (zk, zk), (jnp.asarray(-jnp.inf, zk.dtype),
+                       jnp.asarray(jnp.inf, zk.dtype)),
             lambda a, b: (jnp.maximum(a[0], b[0]),
                           jnp.minimum(a[1], b[1])), (1,))
-        zsel = jnp.where(a_last.astype(jnp.float32) > 0, zmx, zmn) \
-            .astype(sdt)                                   # [rows, F]
+        zsel = jnp.where(a_last.astype(jnp.float32) > 0,
+                         zmx.astype(jnp.float32),
+                         zmn.astype(jnp.float32)).astype(sdt)  # [rows, F]
         out_bf = jax.nn.relu(bf16_affine(zsel, a_last, c_last, sdt))
         out = out_bf.astype(out_dtype).reshape(B, S, -1)
         max_res = (out_bf, zsel)
@@ -421,12 +514,13 @@ def _mx_bwd(cfg, saved, cots):
     if has_pre_bn:
         if has_max and not layers:
             # max directly over the pre-BN output: closed form, dz = dx
+            # (arrives final — already SR'd bf16 under sr)
             g, d_pre_bn = _max_bwd_core(
                 residuals[0], *max_ctx,
                 sr_key=jax.random.fold_in(key, 254) if sr else None)
         else:
             g, d_pre_bn = _prebn_bwd(residuals[0], g, sdt)
-        if sr and exit_low:
+        if sr and exit_low and g.dtype != MXDT:
             g = sr_bf16(jax.random.fold_in(key, 254), g)
     else:
         d_pre_bn = None
